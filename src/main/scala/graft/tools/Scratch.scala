@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core.GbHash
+
+/** Ad-hoc driver used by the verify workflow to exercise library surfaces
+  * inside a real Spark session. Not part of the public API. */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-scratch")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val uh48 = udf((u: String) => GbHash.uh48(u))
+    val fakeIp = udf((u: String, d: String) => GbHash.fakeFirstIp(u, d))
+
+    val urls = Seq(
+      ("http://www.example.com/", "example.com"),
+      ("http://www.example.com/index.html", "example.com"),
+      ("https://news.ycombinator.com/item?id=1", "ycombinator.com"),
+      ("http://www.h0.test/", "h0.test"),
+      ("http://www.h0.test/a/b/c.html", "h0.test"),
+      ("http://" + ("x" * 300) + ".test/", "test") // >256 chars: index wrap path
+    ).toDF("url", "domain")
+
+    val out = urls
+      .withColumn("uh48", uh48($"url"))
+      .withColumn("fake_first_ip", fakeIp($"url", $"domain"))
+
+    out.show(false)
+
+    // distributed distinctness: seen-set identity must not collide here
+    val n = out.select("uh48").distinct().count()
+    println(s"distinct uh48 = $n of ${urls.count()}")
+    println(s"g_hashtab[0][0] = ${GbHash.table(0)}")
+    spark.stop()
+  }
+}
