@@ -17,21 +17,26 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    val canon = udf((u: String) => graft.core.GbUrl.parse(u).url)
+    val domain = udf((u: String) => graft.core.GbUrl.parse(u).domain)
     val uh48 = udf((u: String) => GbHash.uh48(u))
     val fakeIp = udf((u: String, d: String) => GbHash.fakeFirstIp(u, d))
 
     val urls = Seq(
-      ("http://www.example.com/", "example.com"),
-      ("http://www.example.com/index.html", "example.com"),
-      ("https://news.ycombinator.com/item?id=1", "ycombinator.com"),
-      ("http://www.h0.test/", "h0.test"),
-      ("http://www.h0.test/a/b/c.html", "h0.test"),
-      ("http://" + ("x" * 300) + ".test/", "test") // >256 chars: index wrap path
-    ).toDF("url", "domain")
+      "WWW.Example.COM/a/../b//c.html#frag",
+      "http://http://www.example.com/index.html",
+      "https://news.ycombinator.com:443/item?id=1&&x=2",
+      "http://www.h0.test\\p\\q.jpg",
+      "http://bücher.example/straße",
+      "http://" + ("x" * 300) + ".test/" // >256 chars: index wrap path
+    ).toDF("raw")
 
     val out = urls
+      .withColumn("url", canon($"raw"))
+      .withColumn("domain", domain($"raw"))
       .withColumn("uh48", uh48($"url"))
       .withColumn("fake_first_ip", fakeIp($"url", $"domain"))
+      .drop("raw")
 
     out.show(false)
 
