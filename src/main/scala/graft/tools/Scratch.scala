@@ -31,11 +31,25 @@ object Scratch {
       "http://" + ("x" * 300) + ".test/" // >256 chars: index wrap path
     ).toDF("raw")
 
+    import graft.rules._
+    val ufn = udf((u: String, hop: Int, isNew: Boolean) => {
+      val g = graft.core.GbUrl.parse(u)
+      UrlFilters.urlFilterNum(
+        UfnRequest(url = g.url, hopCount = hop, hadReply = !isNew,
+          hasMediaExtension = g.hasMediaExtension),
+        if (isNew) None else Some(UfnReply(spideredTime = 1400000000L)),
+        1400003600L)
+    })
+    val pri = udf((n: Int) => if (n >= 0) UrlFilters.defaultWebRules(n).priority else -1)
+
     val out = urls
       .withColumn("url", canon($"raw"))
       .withColumn("domain", domain($"raw"))
       .withColumn("uh48", uh48($"url"))
       .withColumn("fake_first_ip", fakeIp($"url", $"domain"))
+      .withColumn("hop", (crc32($"url") % 4).cast("int"))
+      .withColumn("ufn", ufn($"url", $"hop", lit(true)))
+      .withColumn("priority", pri($"ufn"))
       .drop("raw")
 
     out.show(false)
