@@ -2,7 +2,6 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.core.GbHash
 
 /** Ad-hoc driver used by the verify workflow to exercise library surfaces
   * inside a real Spark session. Not part of the public API. */
@@ -17,47 +16,35 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val canon = udf((u: String) => graft.core.GbUrl.parse(u).url)
-    val domain = udf((u: String) => graft.core.GbUrl.parse(u).domain)
-    val uh48 = udf((u: String) => GbHash.uh48(u))
-    val fakeIp = udf((u: String, d: String) => GbHash.fakeFirstIp(u, d))
+    // robots gating as it will run in the fetch stage: per-host robots body
+    // joined to candidate urls, verdict computed executor-side
+    val robots = Seq(
+      ("h0.test", "User-agent: *\nDisallow: /private\nCrawl-delay: .5\n"),
+      ("h1.test", "User-agent: Gigablast\nDisallow: /a\n\nUser-agent: *\nDisallow: /\n"),
+      ("h2.test", "")
+    ).toDF("host", "robots_txt")
 
-    val urls = Seq(
-      "WWW.Example.COM/a/../b//c.html#frag",
-      "http://http://www.example.com/index.html",
-      "https://news.ycombinator.com:443/item?id=1&&x=2",
-      "http://www.h0.test\\p\\q.jpg",
-      "http://bücher.example/straße",
-      "http://" + ("x" * 300) + ".test/" // >256 chars: index wrap path
-    ).toDF("raw")
+    val cands = Seq(
+      "http://h0.test/public/x.html",
+      "http://h0.test/private/y.html",
+      "http://h1.test/a/blocked.html",
+      "http://h1.test/b/ok.html",
+      "http://h2.test/anything"
+    ).toDF("url")
 
-    import graft.rules._
-    val ufn = udf((u: String, hop: Int, isNew: Boolean) => {
+    val hostOf = udf((u: String) => graft.core.GbUrl.parse(u).host)
+    val verdict = udf((u: String, txt: String) => {
       val g = graft.core.GbUrl.parse(u)
-      UrlFilters.urlFilterNum(
-        UfnRequest(url = g.url, hopCount = hop, hadReply = !isNew,
-          hasMediaExtension = g.hasMediaExtension),
-        if (isNew) None else Some(UfnReply(spideredTime = 1400000000L)),
-        1400003600L)
+      val body = if (txt == null) Array.empty[Byte] else txt.getBytes("UTF-8")
+      val (allowed, delay) = graft.core.Robots.evaluate(g.url.substring(g.pathOff), body)
+      s"$allowed/$delay"
     })
-    val pri = udf((n: Int) => if (n >= 0) UrlFilters.defaultWebRules(n).priority else -1)
 
-    val out = urls
-      .withColumn("url", canon($"raw"))
-      .withColumn("domain", domain($"raw"))
-      .withColumn("uh48", uh48($"url"))
-      .withColumn("fake_first_ip", fakeIp($"url", $"domain"))
-      .withColumn("hop", (crc32($"url") % 4).cast("int"))
-      .withColumn("ufn", ufn($"url", $"hop", lit(true)))
-      .withColumn("priority", pri($"ufn"))
-      .drop("raw")
-
-    out.show(false)
-
-    // distributed distinctness: seen-set identity must not collide here
-    val n = out.select("uh48").distinct().count()
-    println(s"distinct uh48 = $n of ${urls.count()}")
-    println(s"g_hashtab[0][0] = ${GbHash.table(0)}")
+    cands.withColumn("host", hostOf($"url"))
+      .join(broadcast(robots), Seq("host"), "left")
+      .withColumn("allowed_delay", verdict($"url", $"robots_txt"))
+      .select("url", "allowed_delay")
+      .show(false)
     spark.stop()
   }
 }
