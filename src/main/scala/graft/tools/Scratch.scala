@@ -16,35 +16,20 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    // robots gating as it will run in the fetch stage: per-host robots body
-    // joined to candidate urls, verdict computed executor-side
-    val robots = Seq(
-      ("h0.test", "User-agent: *\nDisallow: /private\nCrawl-delay: .5\n"),
-      ("h1.test", "User-agent: Gigablast\nDisallow: /a\n\nUser-agent: *\nDisallow: /\n"),
-      ("h2.test", "")
-    ).toDF("host", "robots_txt")
+    // extract_text over binary html column — the fetch/parse stage shape
+    val pages = Seq(
+      ("http://h0.test/", "<html><head><title>Home</title></head><body><p>Welcome &amp; enjoy</p><script>var x='<p>no</p>';</script></body></html>"),
+      ("http://h0.test/a", "<p>café &quot;x&quot; 4<sup>th</sup></p>"),
+      ("http://h1.test/", "<select><option>alpha</option></select><div>visible</div>")
+    ).toDF("url", "html_str")
+      .withColumn("html", col("html_str").cast("binary")).drop("html_str")
 
-    val cands = Seq(
-      "http://h0.test/public/x.html",
-      "http://h0.test/private/y.html",
-      "http://h1.test/a/blocked.html",
-      "http://h1.test/b/ok.html",
-      "http://h2.test/anything"
-    ).toDF("url")
-
-    val hostOf = udf((u: String) => graft.core.GbUrl.parse(u).host)
-    val verdict = udf((u: String, txt: String) => {
-      val g = graft.core.GbUrl.parse(u)
-      val body = if (txt == null) Array.empty[Byte] else txt.getBytes("UTF-8")
-      val (allowed, delay) = graft.core.Robots.evaluate(g.url.substring(g.pathOff), body)
-      s"$allowed/$delay"
-    })
-
-    cands.withColumn("host", hostOf($"url"))
-      .join(broadcast(robots), Seq("host"), "left")
-      .withColumn("allowed_delay", verdict($"url", $"robots_txt"))
-      .select("url", "allowed_delay")
-      .show(false)
+    val extract = udf((h: Array[Byte]) => graft.core.GbXml.extractText(h))
+    val out = pages.withColumn("text", extract($"html"))
+      .withColumn("text_vis", regexp_replace($"text", "\n", "\\\\n"))
+    out.select("url", "text_vis").show(false)
+    out.select(length($"text").as("chars"), octet_length($"text").as("bytes")).show()
+    println("rows=" + out.count())
     spark.stop()
   }
 }
