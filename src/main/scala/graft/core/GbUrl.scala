@@ -147,9 +147,12 @@ object GbUrl {
             stripPound: Boolean = false, stripCommonFile: Boolean = false): GbUrl =
     setFrom(raw.getBytes(StandardCharsets.UTF_8), addWWW, stripSessionId, stripPound, stripCommonFile)
 
-  /** Relative resolution against a base (Url.cpp:47-135). */
-  def parseRel(base: GbUrl, href: String, addWWW: Boolean = false): GbUrl = {
-    if (!base.isValid) return parse(href, addWWW)
+  /** Relative resolution against a base (Url.cpp:47-135). Note: absolute
+    * hrefs get stripCommonFile=false regardless (Url.cpp:110-114). */
+  def parseRel(base: GbUrl, href: String, addWWW: Boolean = false,
+               stripSessionId: Boolean = false, stripPound: Boolean = false,
+               stripCommonFile: Boolean = false): GbUrl = {
+    if (!base.isValid) return parse(href, addWWW, stripSessionId, stripPound, stripCommonFile)
     var blen = base.url.length
     if (base.hasQuery) blen -= (base.queryLen + 1)
     // strip filename from base unless it ends in '/'
@@ -170,14 +173,15 @@ object GbUrl {
       (i + 2 < s.length && s.charAt(i) == ':' && (s.charAt(i + 1) == '/' || s.charAt(i + 1) == '\\'))
     if (!isAbsolute && s.length > 1 && ((s.charAt(0) == '/' && s.charAt(1) == '/') || (s.charAt(0) == '\\' && s.charAt(1) == '\\')))
       isAbsolute = true
-    if (blen == 0 || isAbsolute) return parse(s, addWWW)
+    if (blen == 0 || isAbsolute)
+      return parse(s, addWWW, stripSessionId, stripPound, stripCommonFile = false)
     // s starting with '/' → keep only scheme://host[:port]
     if (s.nonEmpty && s.charAt(0) == '/') blen = base.pathOff
     val sb = new StringBuilder(base.url.substring(0, blen))
     if (s.nonEmpty && s.charAt(0) != '/' && s.charAt(0) != '?' && sb.nonEmpty && sb.charAt(sb.length - 1) != '/')
       sb.append('/')
     sb.append(s)
-    parse(sb.toString, addWWW)
+    parse(sb.toString, addWWW, stripSessionId, stripPound, stripCommonFile)
   }
 
   // ---------------------------------------------------------------- set()

@@ -1,0 +1,142 @@
+package graft.frontier
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import java.sql.Timestamp
+import graft.core.{GbHash, GbXml}
+
+/** Deterministic synthetic web corpus (FIXTURES.md §1-3). No wall clock,
+  * no randomness outside the fixed seed structure — page content, link
+  * graph, robots bodies, and host→IP mapping are all pure functions of
+  * the host/page index, so goldens are stable across runs and scales.
+  *
+  * Shape: `nHosts` hosts named www.h<k>.test; host k has 1 root page,
+  * `sections(k)` section pages, and `leaves(k)` leaf pages. Cross-host
+  * links follow a Zipf-ish fan-out: host k links to hosts k*2+1, k*3+2,
+  * ... so low-k hosts become hot (skew for A8/salting tests). A fixed
+  * fraction of hosts serve robots.txt exercising the isAllowed2 quirks,
+  * and some pages carry media-extension links (ismedia delete rule).
+  *
+  * The generator builds pages as a Dataset via spark.range — at sf-bench
+  * scale html bodies are synthesized per-row executor-side, never
+  * collected to the driver.
+  */
+object Corpus {
+
+  final case class Spec(nHosts: Int, sectionsPerHost: Int, leavesPerSection: Int) {
+    def pagesPerHost: Int = 1 + sectionsPerHost + sectionsPerHost * leavesPerSection
+    def totalPages: Long = nHosts.toLong * pagesPerHost
+  }
+
+  val micro: Spec = Spec(8, 2, 3) // ~200 pages
+  val small: Spec = Spec(256, 4, 4) // ~5k pages
+  val bench: Spec = Spec(2000, 8, 12) // ~200k pages
+
+  def host(k: Int): String = s"www.h$k.test"
+
+  /** Deterministic DNS: hosts share IPs ~20% of the time
+    * (FIXTURES.md §3: "several hosts share an IP"). */
+  def firstIp(k: Int, nHosts: Int): Int = {
+    val ipSlot = if (k % 5 == 4) k - 1 else k // host 4 shares host 3's ip etc.
+    val ip = GbHash.hash32(s"ip-$ipSlot.test")
+    if (ip == 0 || ip == -1) 1 else ip
+  }
+
+  def siteNumInlinks(k: Int): Int = if (k % 16 == 0) 9 else k % 8
+
+  /** page index within host: 0 = root, 1..S = sections, then leaves. */
+  def pageUrl(k: Int, p: Int, spec: Spec): String = {
+    if (p == 0) s"http://${host(k)}/"
+    else if (p <= spec.sectionsPerHost) s"http://${host(k)}/s$p/"
+    else {
+      val li = p - spec.sectionsPerHost - 1
+      val sec = li % spec.sectionsPerHost + 1
+      val leaf = li / spec.sectionsPerHost
+      s"http://${host(k)}/s$sec/leaf$leaf.html"
+    }
+  }
+
+  /** Deterministic html body with links. */
+  def pageHtml(k: Int, p: Int, spec: Spec): String = {
+    val sb = new StringBuilder(1024)
+    val title = if (p == 0) s"Host $k home" else s"Host $k page $p"
+    sb.append(s"<html><head><title>$title</title></head><body>")
+    sb.append(s"<h1>$title</h1>")
+    sb.append(s"<p>Deterministic body text for host $k page $p. ")
+    sb.append(s"Some entities: fish &amp; chips, caf&eacute;, x&nbsp;y.</p>")
+    // nav: root links to sections; sections link to leaves; leaves link back
+    if (p == 0) {
+      for (s <- 1 to spec.sectionsPerHost) sb.append(s"""<a href="/s$s/">section $s</a> """)
+      // cross-host links with Zipf-ish skew toward low-k hosts (hot hosts)
+      val t1 = (k * 2 + 1) % spec.nHosts
+      val t2 = (k * 3 + 2) % spec.nHosts
+      sb.append(s"""<a href="http://${host(t1)}/">x1</a> """)
+      sb.append(s"""<a href="http://${host(t2)}/">x2</a> """)
+      sb.append(s"""<a href="http://${host(0)}/">hub</a> """)
+      // a media link to exercise the ismedia delete rule
+      sb.append(s"""<a href="/logo$k.jpg">logo</a> """)
+      // a nofollow link that must NOT be harvested
+      sb.append(s"""<a rel="nofollow" href="http://${host((k + 7) % spec.nHosts)}/private/">nf</a> """)
+    } else if (p <= spec.sectionsPerHost) {
+      val leavesHere = spec.leavesPerSection
+      for (l <- 0 until leavesHere) sb.append(s"""<a href="leaf$l.html">leaf $l</a> """)
+      sb.append(s"""<a href="/">home</a> """)
+      sb.append(s"""<a href="../s${p % spec.sectionsPerHost + 1}/">next</a> """)
+    } else {
+      sb.append(s"""<a href="/">home</a> """)
+      // every 3rd leaf links to a sibling host page (deeper discovery)
+      if (p % 3 == 0) sb.append(s"""<a href="http://${host((k + 1) % spec.nHosts)}/s1/">peer</a> """)
+      sb.append("<script>var hidden = '<a href=\"/not-a-link.html\">x</a>';</script>")
+    }
+    sb.append("</body></html>")
+    sb.toString
+  }
+
+  /** robots.txt bodies: host k≡1 (mod 4) disallows /s1; k≡2 (mod 8) has a
+    * crawl-delay; host 2 disallows everything for us via star. */
+  def robotsBody(k: Int): Option[String] = {
+    if (k % 4 == 1) Some("User-agent: *\nDisallow: /s1\n")
+    else if (k % 8 == 2) Some("User-agent: *\nCrawl-delay: .5\nDisallow: /private\n")
+    else if (k == 2) Some("User-agent: *\nDisallow: /\n")
+    else None
+  }
+
+  def warcTs(url: String): Timestamp =
+    new Timestamp(1388534400000L + (GbHash.uh48(url) % 31536000000L)) // 2014 + f(uh48)
+
+  // ---------------------------------------------------------------- build
+
+  def pages(spark: SparkSession, spec: Spec): Dataset[PageRow] = {
+    import spark.implicits._
+    val pph = spec.pagesPerHost
+    spark.range(spec.totalPages).mapPartitions { it =>
+      it.map { idx =>
+        val k = (idx / pph).toInt
+        val p = (idx % pph).toInt
+        val url = pageUrl(k, p, spec)
+        val html = pageHtml(k, p, spec).getBytes("UTF-8")
+        val text = GbXml.extractText(html) // the golden value, by construction
+        PageRow(url, warcTs(url), html, text, "en")
+      }
+    }
+  }
+
+  def hostMeta(spark: SparkSession, spec: Spec): Dataset[HostMeta] = {
+    import spark.implicits._
+    spark.range(spec.nHosts).map { k =>
+      HostMeta(host(k.toInt), firstIp(k.toInt, spec.nHosts), siteNumInlinks(k.toInt))
+    }
+  }
+
+  def robots(spark: SparkSession, spec: Spec): Dataset[RobotsRow] = {
+    import spark.implicits._
+    spark.range(spec.nHosts).flatMap { k =>
+      robotsBody(k.toInt).map(b => RobotsRow(host(k.toInt), b.getBytes("UTF-8")))
+    }
+  }
+
+  /** Fixed ordered seed list: roots of hosts 0, 1, 5. */
+  def seeds(spec: Spec): Seq[String] = {
+    val picks = Seq(0, 1, 5).filter(_ < spec.nHosts)
+    picks.map(k => s"http://${host(k)}/")
+  }
+}

@@ -1,0 +1,607 @@
+package graft.frontier
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.core.{GbHash, GbLinks, GbUrl, GbXml, Robots}
+import graft.rules._
+
+/** The crawl engine: URL frontier + fetch scheduler as iterative Spark
+  * batch jobs over snapshot tables (SURVEY.md §3.1 Spark mapping).
+  *
+  * One iteration is a single Catalyst-planned job:
+  * {{{
+  * requests ⟕ latestReply (J1, sort-merge on uh48)
+  *   → merge duplicate requests per uh48 (scanListForWinners dedup,
+  *     Spider.cpp:4799-4836: min hopCount / min discoveryTime)
+  *   → ufn / priority / nextEligibleTime (F1, A1) with per-IP and
+  *     per-domain politeness state joined on first_ip / dom_hash32
+  *   → winner top-k per IP (A2: window by first_ip ordered
+  *     priority desc, hopCount asc, spiderTime asc, uh48 asc —
+  *     the winner-tree key total order, Spider.cpp:3475-3497)
+  *   → per-IP outstanding caps (A4, spiderIpMaxSpiders)
+  *   → fetch = join against the pages table (S6; sandbox "network"),
+  *     robots gate (X5) via per-host broadcast join
+  *   → parse/extract (X7-X12) → replies + outlink requests
+  *   → admission: bloom-prefiltered anti-join vs the URL-seen set (J2)
+  *   → snapshot append with per-partition lineage counters
+  * }}}
+  *
+  * Scale notes (10^10-URL frontier, 1000 executors):
+  *  - requests/replies co-partitioned by `uh48` for the J1 join and by
+  *    `first_ip` for scheduling — the two shuffles per iteration. At
+  *    cluster scale both become bucketed Iceberg sort orders so the
+  *    sort-merge join reads pre-sorted buckets with no shuffle.
+  *  - the seen-set anti-join is bloom-prefiltered per partition: only
+  *    bloom-positive candidates pay the exact join (SURVEY §7 risk 4 —
+  *    bloom alone cannot give byte-equality, fp>0).
+  *  - per-IP politeness state is O(#IPs) not O(#URLs) (waiting-tree
+  *    analogue, Spider.h:135-147) and joins on first_ip.
+  *  - hot hosts: A8 overflow guard drops outlink intake for IPs over
+  *    `overflowCap` requests; AQE handles residual join skew.
+  */
+object Crawl {
+
+  final case class Config(
+      maxWinnersPerIp: Int = 2000, // MAX_WINNER_NODES, Spider.cpp:60
+      clockStepMs: Long = 1000L, // simulated wall-clock advance per iteration
+      baseTimeSecs: Long = 1400000000L,
+      userAgent: String = Robots.DefaultUserAgent,
+      overflowCap: Long = 10000000L, // A8, Spider.cpp:5185-5265
+      bloomFpp: Double = 0.03,
+      rules: IndexedSeq[UrlFilterRule] = UrlFilters.defaultWebRules
+  )
+
+  def nowSecs(cfg: Config, iteration: Int): Long = cfg.baseTimeSecs + iteration * (cfg.clockStepMs / 1000L).max(1L)
+  def nowMs(cfg: Config, iteration: Int): Long = nowSecs(cfg, iteration) * 1000L
+
+  // ------------------------------------------------------------- seeding
+
+  /** S1: SpiderRequest::setFromAddUrl (Spider.cpp:14925-14970) — fake
+    * firstIp from the probable docId, hop 0, isAddUrl|isNewOutlink. */
+  def seedRequest(rawUrl: String, nowSecs: Long): Option[FrontierRequest] = {
+    val u = GbUrl.parse(rawUrl)
+    if (!u.isValid) return None
+    val flags = Flags.IsAddUrl | Flags.IsNewOutlink | Flags.FakeFirstIp |
+      (if (u.hasMediaExtension) Flags.HasMediaExtension else 0L) |
+      (if (u.isWWWSubdomain) Flags.IsWWWSubdomain else 0L) |
+      (if (u.isPingServer) Flags.IsPingServer else 0L)
+    Some(FrontierRequest(
+      uh48 = u.uh48,
+      first_ip = u.fakeFirstIp,
+      url = u.url,
+      host_hash32 = u.hostHash32,
+      dom_hash32 = u.domHash32,
+      site_hash32 = u.hostHash32, // site == host by default (no tagdb)
+      site_num_inlinks = -1,
+      added_time = nowSecs,
+      discovery_time = nowSecs,
+      hop_count = 0,
+      parent_lang = "",
+      flags = flags,
+      err_count = 0,
+      parent_doc_id = 0L
+    ))
+  }
+
+  def seeds(spark: SparkSession, urls: Seq[String], cfg: Config): Dataset[FrontierRequest] = {
+    import spark.implicits._
+    val t = nowSecs(cfg, 0)
+    spark.createDataset(urls.flatMap(seedRequest(_, t)))
+  }
+
+  // --------------------------------------------------------- scheduling
+
+  /** The evaluation context bridge: FrontierRequest(+reply) → UfnRequest. */
+  private def toUfn(r: FrontierRequest): UfnRequest = UfnRequest(
+    url = r.url,
+    hopCount = r.hop_count,
+    hopCountValid = true,
+    addedTime = r.added_time,
+    discoveryTime = r.discovery_time,
+    pageNumInlinks = 0,
+    siteNumInlinks = r.site_num_inlinks,
+    parentLang = r.parent_lang,
+    hostHash32 = r.host_hash32,
+    domHash32 = r.dom_hash32,
+    errCount = r.err_count,
+    isAddUrl = Flags.has(r.flags, Flags.IsAddUrl),
+    isInjecting = Flags.has(r.flags, Flags.IsInjecting),
+    isPageReindex = Flags.has(r.flags, Flags.IsPageReindex),
+    isNewOutlink = Flags.has(r.flags, Flags.IsNewOutlink),
+    isRSSExt = Flags.has(r.flags, Flags.IsRSSExt),
+    isUrlPermalinkFormat = Flags.has(r.flags, Flags.IsUrlPermalinkFormat),
+    parentIsRSS = Flags.has(r.flags, Flags.ParentIsRSS),
+    parentIsSiteMap = Flags.has(r.flags, Flags.ParentIsSiteMap),
+    parentIsPingServer = Flags.has(r.flags, Flags.ParentIsPingServer),
+    isPingServer = Flags.has(r.flags, Flags.IsPingServer),
+    hasMediaExtension = Flags.has(r.flags, Flags.HasMediaExtension),
+    fakeFirstIp = Flags.has(r.flags, Flags.FakeFirstIp),
+    hadReply = Flags.has(r.flags, Flags.HadReply)
+  )
+
+  private def toUfnReply(r: FrontierReply): UfnReply = UfnReply(
+    spideredTime = r.spidered_time,
+    errCode = r.err_code,
+    errCount = r.err_count,
+    httpStatus = r.http_status,
+    lang = r.lang,
+    siteNumInlinks = -1,
+    percentChangedPerDay = r.percent_changed_per_day,
+    isRSS = Flags.has(r.flags, Flags.RepIsRSS),
+    isPermalink = Flags.has(r.flags, Flags.RepIsPermalink),
+    isIndexed = Flags.has(r.flags, Flags.RepIsIndexed)
+  )
+
+  /** Latest reply per uh48 (the only reply that exists logically —
+    * Spider.cpp:817-819). */
+  def latestReplies(replies: Dataset[FrontierReply]): Dataset[FrontierReply] = {
+    import replies.sparkSession.implicits._
+    replies.groupByKey(_.uh48).reduceGroups { (a, b) =>
+      if (a.spidered_time > b.spidered_time) a
+      else if (b.spidered_time > a.spidered_time) b
+      else if (a.download_end_time >= b.download_end_time) a else b
+    }.map(_._2)
+  }
+
+  /** Merge duplicate requests per uh48 (Spider.cpp:4799-4836): min
+    * hopCount, min discoveryTime, OR of flags, freshest addedTime. */
+  def mergedRequests(requests: Dataset[FrontierRequest]): Dataset[FrontierRequest] = {
+    import requests.sparkSession.implicits._
+    requests.groupByKey(_.uh48).reduceGroups { (a, b) =>
+      val base = if (a.added_time >= b.added_time) a else b
+      base.copy(
+        hop_count = math.min(a.hop_count, b.hop_count),
+        discovery_time = math.min(a.discovery_time, b.discovery_time),
+        flags = a.flags | b.flags,
+        site_num_inlinks = math.max(a.site_num_inlinks, b.site_num_inlinks),
+        err_count = math.max(a.err_count, b.err_count)
+      )
+    }.map(_._2)
+  }
+
+  /** F1+A1 scoring joined row. */
+  final case class Scored(req: FrontierRequest, ufn: Int, priority: Int,
+                          spiderTimeMs: Long, forceDelete: Boolean,
+                          ipMaxSpiders: Int, ipWaitMs: Int)
+
+  /** Schedule: produce this iteration's fetch batch (doledb analogue). */
+  def schedule(requests: Dataset[FrontierRequest],
+               replies: Dataset[FrontierReply],
+               ipState: Dataset[IpState],
+               domState: Dataset[DomState],
+               cfg: Config,
+               iteration: Int): Dataset[FetchTask] = {
+    val spark = requests.sparkSession
+    import spark.implicits._
+    val now = nowSecs(cfg, iteration)
+    val nowMillis = nowMs(cfg, iteration)
+    val rules = cfg.rules
+
+    val reqs = mergedRequests(requests)
+    val reps = latestReplies(replies)
+
+    // J1: request ⟕ latest reply, sort-merge on uh48
+    val joined = reqs.joinWith(reps, reqs("uh48") === reps("uh48"), "left_outer")
+
+    // politeness state joins (first_ip, dom_hash32) — both tiny vs frontier
+    val withIp = joined
+      .toDF("req", "rep")
+      .join(ipState.toDF().withColumnRenamed("first_ip", "ip_key"),
+        col("req.first_ip") === col("ip_key"), "left_outer")
+      .join(domState.toDF().withColumnRenamed("dom_hash32", "dom_key"),
+        col("req.dom_hash32") === col("dom_key"), "left_outer")
+      .select(
+        col("req").as[FrontierRequest],
+        col("rep").as[FrontierReply],
+        coalesce(col("last_download_end_ms"), lit(-1L)).as[Long],
+        coalesce(col("crawl_delay_ms"), lit(-1)).as[Int]
+      )
+
+    val scored = withIp.map { case (req, repOrNull, lastMs, domCd) =>
+      val rep = Option(repOrNull)
+      // hadReply must reflect reality even before compaction set the bit
+      val reqFixed =
+        if (rep.isDefined && !Flags.has(req.flags, Flags.HadReply))
+          req.copy(flags = req.flags | Flags.HadReply)
+        else req
+      val ur = toUfn(reqFixed)
+      val urep = rep.map(toUfnReply)
+      val ufn = UrlFilters.urlFilterNum(ur, urep, now, rules)
+      if (ufn < 0) Scored(reqFixed, -1, -1, Long.MaxValue, forceDelete = true, 0, 0)
+      else {
+        val rule = rules(ufn)
+        val t = UrlFilters.spiderTimeMs(ur, ufn, urep, rules, lastMs, domCd)
+        Scored(reqFixed, ufn, rule.priority, t, rule.forceDelete, rule.ipMaxSpiders, rule.ipWaitMs)
+      }
+    }
+
+    // A2+A4: winner selection per IP in doledb key order
+    // (255-priority, spiderTime, uh48 — Spider.h:1133-1157; winner-tree
+    // tie-breaks priority desc, hopCount asc, time asc, Spider.cpp:4856-4893)
+    val eligible = scored
+      .filter(s => !s.forceDelete && s.spiderTimeMs <= nowMillis)
+      .map(s => (s.req.uh48, s.req.first_ip, s.req.url, s.priority, s.ufn, s.spiderTimeMs, s.req.hop_count, s.ipMaxSpiders))
+      .toDF("uh48", "first_ip", "url", "priority", "ufn", "spider_time_ms", "hop_count", "ip_max")
+
+    val w = Window.partitionBy(col("first_ip"))
+      .orderBy(col("priority").desc, col("hop_count").asc, col("spider_time_ms").asc, col("uh48").asc)
+    eligible
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= least(col("ip_max"), lit(cfg.maxWinnersPerIp)))
+      .withColumn("seq_in_ip", col("rank") - 1)
+      .select(col("uh48"), col("first_ip"), col("url"), col("priority"), col("ufn"),
+        col("spider_time_ms"), col("hop_count"), col("seq_in_ip").cast("int"))
+      .as[FetchTask]
+  }
+
+  // -------------------------------------------------------------- fetch
+
+  final case class FetchResult(
+      task: FetchTask,
+      found: Boolean,
+      allowed: Boolean,
+      crawlDelayMs: Int,
+      httpStatus: Int,
+      errCode: Int,
+      lang: String,
+      contentHash32: Int,
+      downloadEndMs: Long,
+      outlinks: Seq[FrontierRequest],
+      extractedText: String
+  )
+
+  /** S6+X5+X7-X12: fetch batch against the pages table, robots-gated,
+    * parse and harvest outlinks. The fetch is repartitioned by first_ip so
+    * one task owns an IP (Msg13 per-IP consistency, Msg13.cpp:249). */
+  def fetch(batch: Dataset[FetchTask],
+            pages: Dataset[PageRow],
+            robots: Dataset[RobotsRow],
+            hostMeta: Dataset[HostMeta],
+            cfg: Config,
+            iteration: Int): Dataset[FetchResult] = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val now = nowSecs(cfg, iteration)
+    val nowMillis = nowMs(cfg, iteration)
+    val rules = cfg.rules
+
+    val hostOf = udf((u: String) => GbUrl.parse(u).host)
+    val withHost = batch.withColumn("host", hostOf(col("url")))
+
+    // robots + host_meta are O(#hosts): broadcast when small, else the
+    // join shuffles on host (both sides partitioned by host)
+    val joined = withHost
+      .join(broadcast(robots.toDF().withColumnRenamed("host", "rhost")), col("host") === col("rhost"), "left_outer")
+      .join(pages.toDF().select(col("url").as("purl"), col("html"), col("lang").as("plang")), col("url") === col("purl"), "left_outer")
+      .select(
+        struct(col("uh48"), col("first_ip"), col("url"), col("priority"), col("ufn"),
+          col("spider_time_ms"), col("hop_count"), col("seq_in_ip")).as("task").as[FetchTask],
+        col("body").as[Array[Byte]],
+        col("html").as[Array[Byte]],
+        col("plang").as[String]
+      )
+
+    val hm = hostMeta.collect().map(h => h.host -> h).toMap
+    val hmB = spark.sparkContext.broadcast(hm)
+    val ua = cfg.userAgent
+
+    joined
+      .repartition(col("task.first_ip"))
+      .map { case (task, robotsBody, html, plang) =>
+        val u = GbUrl.parse(task.url)
+        val pathCgi = if (u.isValid) u.url.substring(u.pathOff) else "/"
+        val (allowed, robotsDelay) =
+          if (robotsBody == null) (true, -1)
+          else Robots.evaluate(pathCgi, robotsBody, ua)
+        // final crawl delay: robots else 250ms (X6, XmlDoc.cpp:14972-15028)
+        val cd = if (robotsDelay >= 0) robotsDelay else UrlFilters.DefaultCrawlDelayMs
+        val ipWait = if (task.ufn >= 0) rules(task.ufn).ipWaitMs else 1000
+        val spacing = math.max(cd.toLong, ipWait.toLong)
+        val downloadEnd = nowMillis + (task.seq_in_ip + 1).toLong * spacing
+
+        if (!allowed) {
+          FetchResult(task, found = false, allowed = false, cd, 403, Errs.EDOCDISALLOWED,
+            "", 0, downloadEnd, Nil, "")
+        } else if (html == null) {
+          FetchResult(task, found = false, allowed = true, cd, 404, Errs.EDOCNOTFOUND,
+            "", 0, downloadEnd, Nil, "")
+        } else {
+          // X7-X10: the byte-exact extraction pipeline
+          val work = html.clone()
+          GbXml.sanitizeUtf8(work)
+          val decoded = GbXml.htmlDecode(work, doSpecial = true)
+          val norm = GbXml.normalizeAfterDecode(decoded)
+          val nodes = GbXml.parse(norm)
+          val text = new String(GbXml.getTextBytes(norm, nodes), StandardCharsets.UTF_8)
+          val contentHash = GbHash.hash32(text)
+
+          // X11+X12: outlinks → SpiderRequests
+          val harvest = task.ufn >= 0 && rules(task.ufn).harvestLinks
+          val outs: Seq[FrontierRequest] = if (!harvest) Nil else {
+            val links = GbLinks.harvest(norm, nodes, u)
+            val seenInPage = new java.util.HashSet[Integer]()
+            val metaMap = hmB.value
+            links.flatMap { l =>
+              // dup-in-page dedup by hash32 of the url (XmlDoc.cpp:27614-27618)
+              var uh32 = GbHash.hash32(l.url.url)
+              if (uh32 == 0) uh32 = 1
+              if (l.nofollow) None
+              else if (seenInPage.contains(uh32)) None
+              else {
+                seenInPage.add(uh32)
+                val lu = l.url
+                if (!lu.url.startsWith("http://") && !lu.url.startsWith("https://")) None
+                else if (lu.hostLen <= 2) None
+                else if (lu.uh48 == task.uh48) None // skip self (XmlDoc.cpp:27957)
+                else {
+                  val meta = metaMap.get(lu.host)
+                  val firstIp = meta.map(_.first_ip).getOrElse {
+                    val ip = GbHash.hash32(lu.host); if (ip == 0 || ip == -1) 1 else ip
+                  }
+                  var hc = task.hop_count + 1
+                  if (hc > 65535) hc = 65535
+                  if (lu.isRoot && !lu.hasQuery) hc = 0 // site root (X13)
+                  if (lu.isPingServer) hc = 0
+                  val ext = lu.extension.toLowerCase
+                  val isRSSExt = ext == "rss" || ext == "xml" || ext == "atom"
+                  var fl = Flags.IsNewOutlink
+                  if (isRSSExt) fl |= Flags.IsRSSExt
+                  if (lu.hasMediaExtension) fl |= Flags.HasMediaExtension
+                  if (lu.isPingServer) fl |= Flags.IsPingServer
+                  if (lu.isSimpleSubdomain) fl |= Flags.IsWWWSubdomain
+                  if (lu.domHash32 == u.domHash32) fl |= Flags.SameDom
+                  if (lu.hostHash32 == u.hostHash32) fl |= Flags.SameHost
+                  if (lu.hostHash32 == u.hostHash32) fl |= Flags.SameSite // site == host
+                  Some(FrontierRequest(
+                    uh48 = lu.uh48,
+                    first_ip = firstIp,
+                    url = lu.url,
+                    host_hash32 = lu.hostHash32,
+                    dom_hash32 = lu.domHash32,
+                    site_hash32 = lu.hostHash32,
+                    site_num_inlinks = meta.map(_.site_num_inlinks).getOrElse(-1),
+                    added_time = now,
+                    discovery_time = now,
+                    hop_count = hc,
+                    parent_lang = if (plang == null) "" else plang,
+                    flags = fl,
+                    err_count = 0,
+                    parent_doc_id = task.uh48 & GbHash.DocIdMask
+                  ))
+                }
+              }
+            }
+          }
+          FetchResult(task, found = true, allowed = true, cd, 200, Errs.OK,
+            if (plang == null) "en" else plang, contentHash, downloadEnd, outs, text)
+        }
+      }
+  }
+
+  // ----------------------------------------------------------- writeback
+
+  /** J2: admission anti-join against the URL-seen set with a bloom
+    * prefilter (north_rule "bloom/cuckoo URL-seen"). The bloom is built
+    * distributed (treeAggregate) over existing request uh48s; candidates
+    * that miss the bloom are definitely-new and skip the exact join;
+    * bloom-positives (including fps) pay the exact left_anti join so the
+    * final seen-set is byte-exact (SURVEY §7 risk 4). */
+  def admitNew(candidates: Dataset[FrontierRequest],
+               existing: Dataset[FrontierRequest],
+               expectedSeen: Long,
+               fpp: Double): Dataset[FrontierRequest] = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val bloom = existing.stat.bloomFilter("uh48", math.max(expectedSeen, 1000L), fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val maybeSeen = candidates.filter(c => bloomB.value.mightContainLong(c.uh48))
+    val definitelyNew = candidates.filter(c => !bloomB.value.mightContainLong(c.uh48))
+    val checked = maybeSeen.join(existing.select("uh48").distinct(), Seq("uh48"), "left_anti").as[FrontierRequest]
+    definitelyNew.union(checked)
+  }
+
+  /** Build replies from fetch results. */
+  def repliesOf(results: Dataset[FetchResult], cfg: Config, iteration: Int): Dataset[FrontierReply] = {
+    import results.sparkSession.implicits._
+    val now = nowSecs(cfg, iteration)
+    results.map { r =>
+      FrontierReply(
+        uh48 = r.task.uh48,
+        first_ip = r.task.first_ip,
+        spidered_time = now,
+        err_code = r.errCode,
+        http_status = r.httpStatus,
+        crawl_delay_ms = r.crawlDelayMs,
+        download_end_time = r.downloadEndMs,
+        lang = r.lang,
+        content_hash32 = r.contentHash32,
+        percent_changed_per_day = 0f,
+        flags = 0L,
+        err_count = if (r.errCode != 0 && UrlFilters.tmpErrors.contains(r.errCode)) 1 else 0
+      )
+    }
+  }
+
+  // ------------------------------------------------------------ snapshots
+
+  final case class Snapshot(dir: String, iteration: Int)
+
+  def snapDir(workdir: String, i: Int): String = f"$workdir/snap_$i%05d"
+
+  def writeSnapshot(workdir: String, i: Int,
+                    requests: Dataset[FrontierRequest],
+                    replies: Dataset[FrontierReply],
+                    ipState: Dataset[IpState],
+                    domState: Dataset[DomState],
+                    fetchLog: DataFrame,
+                    metrics: Seq[MetricsRow]): Unit = {
+    val d = snapDir(workdir, i)
+    requests.write.mode("overwrite").parquet(s"$d/requests")
+    replies.write.mode("overwrite").parquet(s"$d/replies")
+    ipState.write.mode("overwrite").parquet(s"$d/ip_state")
+    domState.write.mode("overwrite").parquet(s"$d/dom_state")
+    fetchLog.write.mode("overwrite").parquet(s"$d/fetch_log")
+    val spark = requests.sparkSession
+    import spark.implicits._
+    spark.createDataset(metrics).write.mode("overwrite").parquet(s"$d/metrics")
+    // manifest marks the snapshot complete (atomicity for resume)
+    val m = metrics.map(x => s"""{"partition":${x.partition},"scheduled":${x.scheduled},"fetched":${x.fetched},"new_urls":${x.new_urls}}""").mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$d/MANIFEST.json"),
+      s"""{"iteration":$i,"lineage":$m}""")
+  }
+
+  def latestSnapshot(workdir: String): Option[Int] = {
+    val d = new java.io.File(workdir)
+    if (!d.exists) return None
+    val snaps = d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("snap_"))
+      .filter(f => new java.io.File(f, "MANIFEST.json").exists)
+      .map(_.getName.stripPrefix("snap_").toInt)
+    if (snaps.isEmpty) None else Some(snaps.max)
+  }
+
+  // ----------------------------------------------------------- iteration
+
+  final case class IterationResult(scheduled: Long, fetched: Long, robotsDenied: Long,
+                                   errors: Long, newUrls: Long, dupsDropped: Long)
+
+  /** Run one full crawl iteration: read snapshot i-1, write snapshot i. */
+  def runIteration(spark: SparkSession, workdir: String, i: Int,
+                   pages: Dataset[PageRow], robots: Dataset[RobotsRow],
+                   hostMeta: Dataset[HostMeta], cfg: Config): IterationResult = {
+    import spark.implicits._
+    val prev = snapDir(workdir, i - 1)
+    val requests = spark.read.parquet(s"$prev/requests").as[FrontierRequest]
+    val replies = spark.read.parquet(s"$prev/replies").as[FrontierReply]
+    val ipState = spark.read.parquet(s"$prev/ip_state").as[IpState]
+    val domState = spark.read.parquet(s"$prev/dom_state").as[DomState]
+
+    val t0 = System.currentTimeMillis()
+
+    // A8 overflow guard: IPs with too many requests stop accepting outlinks
+    val overflowIps = requests.groupBy("first_ip").count()
+      .filter(col("count") > cfg.overflowCap).select("first_ip")
+
+    val batch = schedule(requests, replies, ipState, domState, cfg, i)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val scheduled = batch.count()
+
+    val results = fetch(batch, pages, robots, hostMeta, cfg, i)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val fetched = results.filter(_.errCode == Errs.OK).count()
+    val robotsDenied = results.filter(_.errCode == Errs.EDOCDISALLOWED).count()
+    val errors = results.filter(r => r.errCode != Errs.OK && r.errCode != Errs.EDOCDISALLOWED).count()
+
+    val newReplies = repliesOf(results, cfg, i)
+
+    // outlink candidates (drop those landing on overflowed IPs — A8)
+    val candidates = results.flatMap(_.outlinks)
+      .join(overflowIps.withColumnRenamed("first_ip", "of_ip"), col("first_ip") === col("of_ip"), "left_anti")
+      .as[FrontierRequest]
+
+    val candCount = candidates.count()
+    val fresh = admitNew(candidates, requests, expectedSeen = requests.count(), cfg.bloomFpp)
+      // also dedup within the batch itself (J4): keep min hop per uh48
+      .groupByKey(_.uh48).reduceGroups { (a, b) =>
+        if (a.hop_count != b.hop_count) { if (a.hop_count < b.hop_count) a else b }
+        else if (a.added_time <= b.added_time) a else b
+      }.map(_._2)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val newUrls = fresh.count()
+
+    // mark fetched requests as hadReply (so `isnew` flips next iteration)
+    val fetchedKeys = results.map(_.task.uh48).toDF("fuh48")
+    val updatedRequests = requests.toDF()
+      .join(fetchedKeys, col("uh48") === col("fuh48"), "left_outer")
+      .withColumn("flags", when(col("fuh48").isNotNull, col("flags").bitwiseOR(lit(Flags.HadReply))).otherwise(col("flags")))
+      .drop("fuh48")
+      .as[FrontierRequest]
+
+    val allRequests = updatedRequests.union(fresh)
+
+    // politeness state update: last download end per IP; crawl delay per dom
+    val ipUpdates = results.groupByKey(_.task.first_ip)
+      .mapGroups((ip, it) => IpState(ip, it.map(_.downloadEndMs).max))
+    val mergedIp = ipState.union(ipUpdates)
+      .groupByKey(_.first_ip).reduceGroups((a, b) => if (a.last_download_end_ms >= b.last_download_end_ms) a else b)
+      .map(_._2)
+    val domUpdates = results
+      .filter(_.crawlDelayMs >= 0)
+      .map(r => DomState(GbUrl.parse(r.task.url).domHash32, r.crawlDelayMs))
+    val mergedDom = domState.union(domUpdates)
+      .groupByKey(_.dom_hash32).reduceGroups((a, b) => b).map(_._2)
+
+    // crawl-order log: (iteration, first_ip, seq, url) — the golden order
+    val fetchLog = results.map(r => (i, r.task.first_ip, r.task.seq_in_ip, r.task.url, r.task.priority, r.errCode))
+      .toDF("iteration", "first_ip", "seq", "url", "priority", "err_code")
+
+    val wall = System.currentTimeMillis() - t0
+    val metrics = Seq(MetricsRow(i, 0, scheduled, fetched, robotsDenied, errors, newUrls,
+      candCount - newUrls, 0, wall))
+
+    writeSnapshot(workdir, i, allRequests, replies.union(newReplies), mergedIp, mergedDom, fetchLog, metrics)
+    batch.unpersist()
+    results.unpersist()
+    fresh.unpersist()
+    IterationResult(scheduled, fetched, robotsDenied, errors, newUrls, candCount - newUrls)
+  }
+
+  /** J3: frontier compaction — dedupSpiderdbList (Spider.cpp:13609-13823):
+    * one request per (uh48, signature) keeping the OLDEST addedTime
+    * (discovery semantics); latest reply per uh48. */
+  def compact(spark: SparkSession, workdir: String, i: Int): Unit = {
+    import spark.implicits._
+    val d = snapDir(workdir, i)
+    val requests = spark.read.parquet(s"$d/requests").as[FrontierRequest]
+    val replies = spark.read.parquet(s"$d/replies").as[FrontierReply]
+    val sigMask = Flags.IsNewOutlink | Flags.IsInjecting | Flags.IsAddUrl | Flags.IsPageReindex
+    val dedupedReq = requests
+      .groupByKey(r => (r.uh48, r.site_hash32, r.hop_count, r.flags & sigMask))
+      .reduceGroups((a, b) => if (a.added_time <= b.added_time) a else b)
+      .map(_._2)
+    val dedupedRep = latestReplies(replies)
+    dedupedReq.write.mode("overwrite").parquet(s"$d/requests_compact")
+    dedupedRep.write.mode("overwrite").parquet(s"$d/replies_compact")
+    // swap in
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$d/requests"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$d/replies"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$d/requests_compact"), new org.apache.hadoop.fs.Path(s"$d/requests"))
+    fs.rename(new org.apache.hadoop.fs.Path(s"$d/replies_compact"), new org.apache.hadoop.fs.Path(s"$d/replies"))
+  }
+
+  /** Bootstrap snapshot 0 from seeds. */
+  def init(spark: SparkSession, workdir: String, seedUrls: Seq[String], cfg: Config): Unit = {
+    import spark.implicits._
+    val reqs = seeds(spark, seedUrls, cfg)
+    writeSnapshot(workdir, 0, reqs,
+      spark.emptyDataset[FrontierReply],
+      spark.emptyDataset[IpState],
+      spark.emptyDataset[DomState],
+      Seq.empty[(Int, Int, Int, String, Int, Int)].toDF("iteration", "first_ip", "seq", "url", "priority", "err_code"),
+      Seq(MetricsRow(0, 0, 0, 0, 0, 0, seedUrls.size, 0, 0, 0)))
+  }
+
+  /** Run (or resume) a crawl for `iterations` steps. */
+  def run(spark: SparkSession, workdir: String, spec: Corpus.Spec, iterations: Int,
+          cfg: Config = Config(), compactEvery: Int = 4): Seq[IterationResult] = {
+    val pages = Corpus.pages(spark, spec).persist(StorageLevel.MEMORY_AND_DISK)
+    val robots = Corpus.robots(spark, spec)
+    val hostMeta = Corpus.hostMeta(spark, spec)
+    val start = latestSnapshot(workdir) match {
+      case None => init(spark, workdir, Corpus.seeds(spec), cfg); 1
+      case Some(n) => n + 1
+    }
+    val out = (start until start + iterations).map { i =>
+      val r = runIteration(spark, workdir, i, pages, robots, hostMeta, cfg)
+      if (i % compactEvery == 0) compact(spark, workdir, i)
+      r
+    }
+    pages.unpersist()
+    out
+  }
+}

@@ -1,0 +1,130 @@
+package graft.frontier
+
+import java.sql.Timestamp
+
+/** Typed schemas of the engine's tables (FIXTURES.md §1-4; reference
+  * structs `/root/reference/src/Spider.h:468-912` SpiderRequest,
+  * `Spider.h:926-1103` SpiderReply).
+  *
+  * At cluster scale the frontier tables are Iceberg tables partitioned
+  * `bucket(N, first_ip)` with sort order (first_ip, uh48) — the exact
+  * analogue of spiderdb's 128-bit key range sharding
+  * (`Spider.h:370-377`, shard fn `Hostdb.cpp:2531-2547`). This repo has
+  * no Iceberg jar, so snapshots are versioned parquet directories with a
+  * manifest (same semantics: append-only snapshots, time-travel resume,
+  * compaction rewrites).
+  */
+object Flags {
+  // SpiderRequest one-bit flags (Spider.h:599-705), packed in a Long
+  val IsAddUrl = 1L << 0
+  val IsInjecting = 1L << 1
+  val IsPageReindex = 1L << 2
+  val IsPageParser = 1L << 3
+  val IsNewOutlink = 1L << 4
+  val IsRSSExt = 1L << 5
+  val IsUrlPermalinkFormat = 1L << 6
+  val ParentIsRSS = 1L << 7
+  val ParentIsSiteMap = 1L << 8
+  val ParentIsPingServer = 1L << 9
+  val IsPingServer = 1L << 10
+  val HasMediaExtension = 1L << 11
+  val FakeFirstIp = 1L << 12
+  val HadReply = 1L << 13
+  val IsWWWSubdomain = 1L << 14
+  val SameDom = 1L << 15
+  val SameHost = 1L << 16
+  val SameSite = 1L << 17
+  val WasParentIndexed = 1L << 18
+  val ParentIsPermalink = 1L << 19
+  // SpiderReply flags (Spider.h:1063-1103)
+  val RepIsRSS = 1L << 0
+  val RepIsPermalink = 1L << 1
+  val RepIsIndexed = 1L << 2
+  val RepWasIndexed = 1L << 3
+  val RepFromInjection = 1L << 4
+
+  @inline def has(flags: Long, bit: Long): Boolean = (flags & bit) != 0L
+}
+
+/** Input pages table (BASELINE.json input_hint). */
+final case class PageRow(url: String, warc_ts: Timestamp, html: Array[Byte], text: String, lang: String)
+
+/** Deterministic DNS/tagdb stand-in (FIXTURES.md §3; Spider.h:108-118). */
+final case class HostMeta(host: String, first_ip: Int, site_num_inlinks: Int)
+
+final case class RobotsRow(host: String, body: Array[Byte])
+
+/** One frontier request row ≅ SpiderRequest. */
+final case class FrontierRequest(
+    uh48: Long,
+    first_ip: Int,
+    url: String,
+    host_hash32: Int,
+    dom_hash32: Int,
+    site_hash32: Int,
+    site_num_inlinks: Int,
+    added_time: Long, // secs
+    discovery_time: Long, // secs
+    hop_count: Int,
+    parent_lang: String,
+    flags: Long,
+    err_count: Int,
+    parent_doc_id: Long
+)
+
+/** One frontier reply row ≅ SpiderReply (latest per uh48 wins). */
+final case class FrontierReply(
+    uh48: Long,
+    first_ip: Int,
+    spidered_time: Long, // secs
+    err_code: Int,
+    http_status: Int,
+    crawl_delay_ms: Int,
+    download_end_time: Long, // ms
+    lang: String,
+    content_hash32: Int,
+    percent_changed_per_day: Float,
+    flags: Long,
+    err_count: Int
+)
+
+/** Per-IP politeness state (waiting tree + lastDownloadCache analogue). */
+final case class IpState(first_ip: Int, last_download_end_ms: Long)
+
+/** Per-domain crawl-delay state (m_cdTable, Spider.h:1397). */
+final case class DomState(dom_hash32: Int, crawl_delay_ms: Int)
+
+/** One scheduled fetch (a doledb entry; Spider.h:1133-1157). */
+final case class FetchTask(
+    uh48: Long,
+    first_ip: Int,
+    url: String,
+    priority: Int,
+    ufn: Int,
+    spider_time_ms: Long,
+    hop_count: Int,
+    seq_in_ip: Int // dole order within the IP this iteration
+)
+
+/** Per-iteration, per-partition lineage counters (north_rule). */
+final case class MetricsRow(
+    iteration: Int,
+    partition: Int,
+    scheduled: Long,
+    fetched: Long,
+    robots_denied: Long,
+    errors: Long,
+    new_urls: Long,
+    dups_dropped: Long,
+    filtered: Long,
+    wall_ms: Long
+)
+
+/** Error codes used by the engine (reference Errno.h values where they
+  * gate behavior; see rules.UrlFilters.tmpErrors). */
+object Errs {
+  val OK = 0
+  val EDOCDISALLOWED = 32880 // robots.txt denied (XmlDoc.cpp:4389-4397)
+  val EDOCNOTFOUND = 32771 // page absent from the pages table (sandbox 404)
+  val EDNSTIMEDOUT: Int = graft.rules.UrlFilters.EDNSTIMEDOUT
+}
