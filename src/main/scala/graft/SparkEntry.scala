@@ -1,13 +1,291 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.{GbUrl, GbXml, GbLinks, Robots}
+import graft.frontier.{Corpus, Crawl}
+import graft.rules.{UfnRequest, UfnReply, UrlFilters}
+import graft.textops.TextOps
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data ops), each with a DuckDB oracle when
+  * SQL-expressible. Crawl-side pure functions are verified against
+  * literal VALUES oracles (golden outputs); whole-pipeline queries are
+  * rows-only. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def read(s: SparkSession, dir: String, t: String): DataFrame =
+    s.read.parquet(s"$dir/$t.parquet")
+
+  /** Flagship: extraction + uh48 over the synthetic corpus (micro). */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val uh = udf((u: String) => graft.core.GbHash.uh48(u))
+    Corpus.pages(spark, Corpus.micro)
+      .select(col("url"), uh(col("url")).as("uh48"), length(col("text")).cast("long").as("text_len"))
+  }
+
+  // fixed crawl-function fixtures (VALUES-oracle inputs)
+  private val canonFixtures = Seq(
+    "WWW.Example.COM/a/../b//c.html#frag",
+    "http://http://www.foo.com/index.html",
+    "https://News.Ycombinator.com:443/item?id=1&&x=2",
+    "http://www.h0.test\\p\\q.jpg",
+    "http://sub.domain.co.uk/path/./x/",
+    "http://1.2.3.4:8080/ip")
+
+  private val robotsFixture =
+    "User-agent: Gigablast\nCrawl-delay: 2.5\n\nUser-agent: *\nDisallow: /priv\nCrawl-delay: .5\n"
+
+  private val extractFixtures = Seq(
+    "<p>fish &amp; chips</p>",
+    "<b>bold</b> and <a href=\"/x\">link</a>",
+    "<select><option>hidden</option></select>visible")
+
+  private val linksFixture =
+    """<html><body><a href="/a.html">A</a><a rel="nofollow" href="/no.html">N</a><a href="http://other.test/x">X</a><link rel="alternate" type="application/rss+xml" href="/feed.xml"><a href="mailto:x@y.z">M</a><a href="b.html#frag">B</a></body></html>"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----- relational patterns of the crawl loop, on the TPC-H-ish tables
+    "q1_lineitem_agg" -> ((s, d) => {
+      read(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").cast("long").as("sum_qty"), count(lit(1)).as("cnt"))
+    }),
+    "a2_winner_topk" -> ((s, d) => {
+      // the scheduler's winner-selection window shape (A2)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      read(s, d, "orders").withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rank"))
+    }),
+    "j1_latest_reply" -> ((s, d) => {
+      // latest-reply-per-uh48 join shape (J1) on events
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      read(s, d, "events").withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("user_id"), col("event_id"))
+    }),
+    "j2_seen_antijoin" -> ((s, d) => {
+      // URL-seen anti-join shape (J2): customers never seen in events
+      val c = read(s, d, "customer")
+      val e = read(s, d, "events").select(col("user_id").as("c_custkey")).distinct()
+      c.join(e, Seq("c_custkey"), "left_anti").select("c_custkey")
+    }),
+    "j3_dedup_merge" -> ((s, d) => {
+      // dedup-on-merge (J3): keep min event per (user, type)
+      read(s, d, "events").groupBy("user_id", "event_type")
+        .agg(min("event_id").as("event_id"))
+    }),
+    "a6_quota_counts" -> ((s, d) =>
+      read(s, d, "documents").groupBy("source").agg(count(lit(1)).as("pages"))),
+    "a7_cblock_count" -> ((s, d) =>
+      read(s, d, "events").groupBy("user_id")
+        .agg(least(countDistinct("event_type"), lit(20)).cast("long").as("cblocks"))),
+    "a8_overflow_guard" -> ((s, d) =>
+      read(s, d, "events").groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 12).select("user_id", "cnt")),
+
+    // ----- crawl pure functions vs literal golden oracles
+    "x1_canonicalize" -> ((s, d) => {
+      import s.implicits._
+      canonFixtures.map { raw =>
+        val g = GbUrl.parse(raw)
+        (raw, g.url, g.domain, g.tld)
+      }.toDF("raw", "url", "domain", "tld")
+    }),
+    "x2_uh48" -> ((s, d) => {
+      import s.implicits._
+      canonFixtures.map { raw =>
+        val g = GbUrl.parse(raw)
+        (g.url, g.uh48, g.hostHash32, g.fakeFirstIp)
+      }.toDF("url", "uh48", "host_hash32", "fake_first_ip")
+    }),
+    "x5_robots" -> ((s, d) => {
+      import s.implicits._
+      val body = robotsFixture.getBytes("UTF-8")
+      Seq("/", "/priv", "/priv/x", "/private", "/pub").map { p =>
+        val (a, delay) = Robots.evaluate(p, body)
+        (p, a, delay)
+      }.toDF("path", "allowed", "delay_ms")
+    }),
+    "f1_ufn" -> ((s, d) => {
+      import s.implicits._
+      val now = 1400003600L
+      Seq(
+        ("http://www.a.com/", 0, false, false, false),
+        ("http://www.a.com/", 0, true, false, false),
+        ("http://a.com/x", 1, false, false, false),
+        ("http://a.com/x.jpg", 2, false, true, false),
+        ("http://a.com/deep", 5, false, false, false),
+        ("http://www.seed.com/", 0, false, false, true)
+      ).map { case (u, hop, hadReply, media, isAdd) =>
+        val req = UfnRequest(url = u, hopCount = hop, hadReply = hadReply,
+          hasMediaExtension = media, isAddUrl = isAdd, addedTime = now - 1000)
+        val rep = if (hadReply) Some(UfnReply(spideredTime = now - 500)) else None
+        val n = UrlFilters.urlFilterNum(req, rep, now)
+        val pri = if (n >= 0) UrlFilters.defaultWebRules(n).priority else -1
+        (u, hop, hadReply, media, isAdd, n, pri)
+      }.toDF("url", "hop", "had_reply", "is_media", "is_addurl", "ufn", "priority")
+    }),
+    "a1_spidertime" -> ((s, d) => {
+      import s.implicits._
+      val req = UfnRequest(url = "http://www.a.com/", hopCount = 0, addedTime = 1000)
+      Seq(UrlFilters.spiderTimeMs(req, 12, None, UrlFilters.defaultWebRules, 2000000L, 5000))
+        .toDF("spider_time_ms")
+    }),
+    "x10_extract_text" -> ((s, d) => {
+      import s.implicits._
+      extractFixtures.map(h => (h, GbXml.extractText(h))).toDF("html", "text")
+    }),
+    "x11_links" -> ((s, d) => {
+      import s.implicits._
+      val bytes = linksFixture.getBytes("UTF-8")
+      val nodes = GbXml.parse(bytes)
+      val base = GbUrl.parse("http://www.site.test/dir/page.html")
+      GbLinks.harvest(bytes, nodes, base).map(l => (l.url.url, l.isRSS, l.nofollow))
+        .toDF("url", "is_rss", "nofollow")
+    }),
+    "s1_seed_requests" -> ((s, d) => {
+      import s.implicits._
+      Corpus.seeds(Corpus.micro).flatMap(Crawl.seedRequest(_, 1400000000L))
+        .map(r => (r.url, r.uh48, r.first_ip, r.hop_count))
+        .toDF("url", "uh48", "first_ip", "hop_count")
+    }),
+
+    // ----- whole-pipeline (rows-only checks; byte-level goldens in sbt test)
+    "crawl_iteration" -> ((s, d) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_q_crawl").toString
+      Crawl.run(s, work, Corpus.micro, 2)
+      s.read.parquet(s"${Crawl.snapDir(work, 2)}/fetch_log")
+        .select("iteration", "first_ip", "seq", "url", "priority", "err_code")
+    }),
+
+    // ----- training-data ops: dedup
+    "dedup_exact" -> ((s, d) => TextOps.exactDupCounts(read(s, d, "documents"))),
+    "dedup_ngram_jaccard" -> ((s, d) => TextOps.ngramJaccardPairs(read(s, d, "documents"), 200L, 50)),
+    "dedup_minhash_lsh" -> ((s, d) => TextOps.minhashLshCandidates(read(s, d, "documents"), 32, 8, 500L)),
+    "dedup_simhash" -> ((s, d) => TextOps.simhashCandidates(read(s, d, "documents"), 500L)),
+    "dedup_embedding_cosine" -> ((s, d) => TextOps.embeddingDupPairs(read(s, d, "embeddings"), 300L, 35)),
+
+    // ----- training-data ops: similarity search
+    "ann_cosine_topk" -> ((s, d) => TextOps.cosineTopK(read(s, d, "embeddings"), 20, 5)),
+    "ann_lsh_topk" -> ((s, d) => TextOps.lshCosineTopK(read(s, d, "embeddings"), 20, 5)),
+
+    // ----- training-data ops: text analysis + multimodal plumbing
+    "text_tokens" -> ((s, d) => TextOps.tokenCounts(read(s, d, "documents"))
+      .select(col("doc_id"), col("ws_tokens").cast("long").as("ws_tokens"), col("re_tokens").cast("long").as("re_tokens"))),
+    "text_quality" -> ((s, d) => TextOps.qualityStats(read(s, d, "documents"))
+      .select(col("doc_id"), col("n_chars"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("stopword_count").cast("long").as("stopword_count"),
+        col("distinct_tokens").cast("long").as("distinct_tokens"))),
+    "text_langid" -> ((s, d) => TextOps.langId(read(s, d, "documents"))),
+    "text_fingerprint" -> ((s, d) => TextOps.fingerprints(read(s, d, "documents"))),
+    "mm_decode_stub" -> ((s, d) =>
+      TextOps.decodeMedia(read(s, d, "documents").withColumn("blob", encode(col("text"), "UTF-8")), "blob", "doc_id")
+        .select(col("doc_id"), col("width").cast("long").as("width"), col("height").cast("long").as("height")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_lineitem_agg" ->
+      "SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS BIGINT) AS sum_qty, count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus",
+    "a2_winner_topk" ->
+      "SELECT o_custkey, o_orderkey, rank FROM (SELECT o_custkey, o_orderkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank FROM orders) WHERE rank <= 3",
+    "j1_latest_reply" ->
+      "SELECT user_id, event_id FROM (SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1",
+    "j2_seen_antijoin" ->
+      "SELECT c_custkey FROM customer c WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)",
+    "j3_dedup_merge" ->
+      "SELECT user_id, event_type, min(event_id) AS event_id FROM events GROUP BY user_id, event_type",
+    "a6_quota_counts" ->
+      "SELECT source, count(*) AS pages FROM documents GROUP BY source",
+    "a7_cblock_count" ->
+      "SELECT user_id, CAST(least(count(DISTINCT event_type), 20) AS BIGINT) AS cblocks FROM events GROUP BY user_id",
+    "a8_overflow_guard" ->
+      "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id HAVING count(*) > 12",
+    "x1_canonicalize" ->
+      ("SELECT * FROM (VALUES " +
+        "('WWW.Example.COM/a/../b//c.html#frag', 'http://www.example.com/b/c.html', 'example.com', 'com')," +
+        "('http://http://www.foo.com/index.html', 'http://www.foo.com/index.html', 'foo.com', 'com')," +
+        "('https://News.Ycombinator.com:443/item?id=1&&x=2', 'https://news.ycombinator.com/item?id=1&x=2', 'ycombinator.com', 'com')," +
+        "('http://www.h0.test\\p\\q.jpg', 'http://www.h0.test/p/q.jpg', 'h0.test', 'test')," +
+        "('http://sub.domain.co.uk/path/./x/', 'http://sub.domain.co.uk/path/x/', 'domain.co.uk', 'co.uk')," +
+        "('http://1.2.3.4:8080/ip', 'http://1.2.3.4:8080/ip', '1.2.3', '')" +
+        ") AS t(raw, url, domain, tld)"),
+    "x2_uh48" ->
+      ("SELECT url, CAST(uh48 AS BIGINT) AS uh48, CAST(host_hash32 AS INTEGER) AS host_hash32, CAST(fake_first_ip AS INTEGER) AS fake_first_ip FROM (VALUES " +
+        "('http://www.example.com/b/c.html', 216172235310132, 59580137, -2058624204)," +
+        "('http://www.foo.com/index.html', 268246257265569, -1151772446, -220183903)," +
+        "('https://news.ycombinator.com/item?id=1&x=2', 66572417678789, -1037139414, 424583877)," +
+        "('http://www.h0.test/p/q.jpg', 131495818073789, -2104378031, 1099347005)," +
+        "('http://sub.domain.co.uk/path/x/', 167621463999788, 1873830651, 1775351276)," +
+        "('http://1.2.3.4:8080/ip', 31623626785866, 636472066, -217405110)" +
+        ") AS t(url, uh48, host_hash32, fake_first_ip)"),
+    "x5_robots" ->
+      ("SELECT path, allowed, CAST(delay_ms AS INTEGER) AS delay_ms FROM (VALUES " +
+        "('/', true, 2500), ('/priv', false, 2500), ('/priv/x', false, 2500)," +
+        "('/private', false, 2500), ('/pub', true, 2500)) AS t(path, allowed, delay_ms)"),
+    "f1_ufn" ->
+      ("SELECT url, CAST(hop AS INTEGER) AS hop, had_reply, is_media, is_addurl, CAST(ufn AS INTEGER) AS ufn, CAST(priority AS INTEGER) AS priority FROM (VALUES " +
+        "('http://www.a.com/', 0, false, false, false, 9, 50)," +
+        "('http://www.a.com/', 0, true, false, false, 10, 48)," +
+        "('http://a.com/x', 1, false, false, false, 17, 40)," +
+        "('http://a.com/x.jpg', 2, false, true, false, 1, 100)," +
+        "('http://a.com/deep', 5, false, false, false, 21, 20)," +
+        "('http://www.seed.com/', 0, false, false, true, 6, 85)" +
+        ") AS t(url, hop, had_reply, is_media, is_addurl, ufn, priority)"),
+    "a1_spidertime" ->
+      "SELECT CAST(2005000 AS BIGINT) AS spider_time_ms",
+    "x10_extract_text" ->
+      ("SELECT * FROM (VALUES " +
+        "('<p>fish &amp; chips</p>', 'fish & chips')," +
+        "('<b>bold</b> and <a href=\"/x\">link</a>', 'bold and link')," +
+        "('<select><option>hidden</option></select>visible', 'visible')" +
+        ") AS t(html, text)"),
+    "x11_links" ->
+      ("SELECT * FROM (VALUES " +
+        "('http://www.site.test/a.html', false, false)," +
+        "('http://www.site.test/no.html', false, true)," +
+        "('http://other.test/x', false, false)," +
+        "('http://www.site.test/feed.xml', true, false)," +
+        "('http://www.site.test/dir/b.html', false, false)" +
+        ") AS t(url, is_rss, nofollow)"),
+    "s1_seed_requests" ->
+      ("SELECT url, CAST(uh48 AS BIGINT) AS uh48, CAST(first_ip AS INTEGER) AS first_ip, CAST(hop_count AS INTEGER) AS hop_count FROM (VALUES " +
+        "('http://www.h0.test/', 102973433861522, 1592947730, 0)," +
+        "('http://www.h1.test/', 230641450285198, 1706479950, 0)," +
+        "('http://www.h5.test/', 80519018138911, 1266240223, 0)" +
+        ") AS t(url, uh48, first_ip, hop_count)"),
+    "dedup_exact" ->
+      "SELECT doc_id, count(*) OVER (PARTITION BY text) AS dup_count FROM documents",
+    "dedup_ngram_jaccard" ->
+      ("WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 200), " +
+        "sh AS (SELECT DISTINCT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS sh FROM words), " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, inter, (sa.n + sb.n - inter) AS union_sz FROM inter " +
+        "JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b " +
+        "WHERE inter * 100 >= (sa.n + sb.n - inter) * 50"),
+    "dedup_embedding_cosine" ->
+      ("SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM " +
+        "(SELECT * FROM embeddings WHERE vec_id < 300) a JOIN (SELECT * FROM embeddings WHERE vec_id < 300) b " +
+        "ON a.vec_id < b.vec_id " +
+        "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35"),
+    "ann_cosine_topk" ->
+      ("SELECT q_id, neighbor_id, rank FROM (" +
+        "SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank " +
+        "FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 20) q WHERE c.vec_id <> q.vec_id) WHERE rank <= 5"),
+    "text_tokens" ->
+      ("SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS re_tokens FROM documents"),
+    "text_quality" ->
+      ("SELECT doc_id, n_chars, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens, " +
+        "CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS stopword_count, " +
+        "CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS distinct_tokens FROM documents")
+  )
 }

@@ -1,0 +1,307 @@
+package graft.textops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.GbHash
+
+/** Large-scale training-data pipeline operators over the `documents` and
+  * `embeddings` tables: deduplication (exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard, embedding-cosine), similarity search (brute-force
+  * cosine top-k + LSH-bucketed), and text analysis (language id, quality
+  * scoring, token counts, fingerprinting).
+  *
+  * Scale notes: everything is expressed as DataFrame transforms so
+  * Catalyst prunes/pushes down; the only shuffles are the groupBys on
+  * shingle/band/bucket keys, which partition evenly by construction
+  * (hash keys). Pairwise joins are always bounded by a candidate-key
+  * equi-join (shingle, band bucket, LSH bucket) — never a cross join —
+  * so they survive a 100× scale-up; the brute-force cosine top-k
+  * broadcasts only the (small) query set.
+  */
+object TextOps {
+
+  // ------------------------------------------------------------ exact dup
+
+  /** Exact duplicate detection: hash-groupBy on the full text. */
+  def exactDupCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), count(lit(1)).over(Window.partitionBy(col("text"))).as("dup_count"))
+
+  // ------------------------------------------------------- n-gram jaccard
+
+  /** Word 2-gram shingles per doc (distinct). */
+  def shingles(docs: DataFrame, maxDocId: Long): DataFrame = {
+    val words = docs.filter(col("doc_id") < maxDocId)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    words.select(col("doc_id"), explode(expr(
+      "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))")).as("sh"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard pairs: candidate pairs share ≥1 shingle; the
+    * equi-join on the shingle key replaces a cross join (scales with
+    * shared-shingle volume, not |docs|²). Returns integer intersection /
+    * union sizes (exact, no float compare issues). */
+  def ngramJaccardPairs(docs: DataFrame, maxDocId: Long = 200L, minJaccardPct: Int = 50): DataFrame = {
+    val sh = shingles(docs, maxDocId).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+      .withColumn("union_sz", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * 100 >= col("union_sz") * minJaccardPct)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"))
+  }
+
+  // --------------------------------------------------------- minhash + lsh
+
+  /** MinHash signatures over word-2-gram shingles using the engine's
+    * tabulation hash family: h_i(s) = hash64h(seed_i, hash64(s)). */
+  def minhashSignatures(docs: DataFrame, numHashes: Int, maxDocId: Long = Long.MaxValue): DataFrame = {
+    val n = numHashes
+    val sigUdf = udf((text: String) => {
+      val words = text.split(' ')
+      val sig = Array.fill(n)(Long.MaxValue)
+      var i = 0
+      while (i < words.length - 1) {
+        val h0 = GbHash.hash64(words(i) + " " + words(i + 1))
+        var k = 0
+        while (k < n) {
+          val h = GbHash.hash64h(k.toLong * 0x9e3779b97f4a7c15L, h0)
+          if (h < sig(k)) sig(k) = h
+          k += 1
+        }
+        i += 1
+      }
+      sig
+    })
+    docs.filter(col("doc_id") < maxDocId)
+      .select(col("doc_id"), sigUdf(col("text")).as("sig"))
+  }
+
+  /** LSH banding: split the signature into `bands` bands of r rows; docs
+    * sharing any band bucket are candidate pairs (equi-join on the band
+    * key — the scale path for near-dup detection at 100 TB). */
+  def minhashLshCandidates(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
+                           maxDocId: Long = Long.MaxValue): DataFrame = {
+    val r = numHashes / bands
+    val sigs = minhashSignatures(docs, numHashes, maxDocId)
+    val banded = sigs.select(col("doc_id"), posexplode(expr(
+      s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $r + 1, $r)))")))
+      .toDF("doc_id", "band", "bucket")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over word hashes. */
+  def simhash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    for (w <- text.split(' ') if w.nonEmpty) {
+      val h = GbHash.hash64(w)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) != 0L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** SimHash near-dup candidates: 4 16-bit chunks as LSH keys (hamming
+    * distance ≤ 3 ⇒ at least one chunk equal). */
+  def simhashCandidates(docs: DataFrame, maxDocId: Long = Long.MaxValue, maxHamming: Int = 3): DataFrame = {
+    val sim = udf((t: String) => simhash64(t))
+    val hashed = docs.filter(col("doc_id") < maxDocId).select(col("doc_id"), sim(col("text")).as("simhash"))
+    val chunked = hashed.select(col("doc_id"), col("simhash"), posexplode(expr(
+      "transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)"))).toDF("doc_id", "simhash", "chunk", "ckey")
+    val ham = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        ham(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------------ similarity search
+
+  /** Brute-force cosine top-k: queries broadcast against the corpus;
+    * dot products via the codegen'd higher-order `aggregate`/`zip_with`
+    * functions, no UDF in the hot path. */
+  def cosineTopK(emb: DataFrame, nQueries: Int = 20, k: Int = 5): DataFrame = {
+    val withNorm = emb.withColumn("norm",
+      sqrt(expr("aggregate(embedding, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
+    val queries = withNorm.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val joined = withNorm.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("dot", expr("aggregate(zip_with(embedding, q_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"))
+      .withColumn("cosine", col("dot") / (col("norm") * col("q_norm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN (the 100 TB path): random-hyperplane signatures
+    * (deterministic seeds), candidates restricted to matching buckets. */
+  def lshCosineTopK(emb: DataFrame, nQueries: Int = 20, k: Int = 5,
+                    nPlanes: Int = 12, dim: Int = 64): DataFrame = {
+    // deterministic hyperplanes from the tabulation table
+    val planes: Array[Array[Double]] = Array.tabulate(nPlanes) { p =>
+      Array.tabulate(dim) { d =>
+        val h = GbHash.hash64h(p.toLong << 32 | d.toLong, 0x5bd1e995L)
+        (h.toDouble / Long.MaxValue.toDouble)
+      }
+    }
+    val spark = emb.sparkSession
+    val planesB = spark.sparkContext.broadcast(planes)
+    val sigU = udf((v: Seq[Float]) => {
+      val ps = planesB.value
+      var sig = 0
+      var p = 0
+      while (p < ps.length) {
+        var dot = 0.0
+        var d = 0
+        val lim = math.min(v.length, ps(p).length)
+        while (d < lim) { dot += v(d) * ps(p)(d); d += 1 }
+        if (dot >= 0) sig |= (1 << p)
+        p += 1
+      }
+      sig
+    })
+    val withSig = emb.withColumn("bucket", sigU(col("embedding")))
+      .withColumn("norm",
+        sqrt(expr("aggregate(embedding, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
+    val queries = withSig.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("bucket").as("q_bucket"))
+    val joined = withSig.join(broadcast(queries), col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      .withColumn("dot", expr("aggregate(zip_with(embedding, q_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"))
+      .withColumn("cosine", col("dot") / (col("norm") * col("q_norm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
+  /** Embedding-cosine near-dup pairs above an integer-percent threshold. */
+  def embeddingDupPairs(emb: DataFrame, maxVecId: Long = 300L, minCosPct: Int = 90): DataFrame = {
+    val sub = emb.filter(col("vec_id") < maxVecId)
+      .withColumn("norm",
+        sqrt(expr("aggregate(embedding, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
+    sub.as("a").join(sub.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("dot", expr("aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"))
+      .filter(col("dot") >= lit(minCosPct / 100.0) * col("a.norm") * col("b.norm"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+  }
+
+  // ------------------------------------------------------------ text stats
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
+
+  /** Token counts: whitespace tokens + BPE-ish regex tokens (runs of
+    * word chars or single non-space symbols). Pure column expressions. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\\\s]', 0)")).as("re_tokens"))
+
+  /** Quality scoring: integer components only (exact cross-engine). */
+  def qualityStats(docs: DataFrame): DataFrame = {
+    val sw = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
+    docs.select(
+      col("doc_id"),
+      col("n_chars"),
+      size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+      expr(s"size(filter(split(trim(text), '\\\\s+'), x -> x in $sw))").as("stopword_count"),
+      size(array_distinct(split(trim(col("text")), "\\s+"))).as("distinct_tokens"))
+  }
+
+  /** Language id: trigram-profile heuristic (deterministic, n-gram based).
+    * Profiles are the most frequent character trigrams of each language's
+    * stopword set — a toy but real n-gram classifier. */
+  private val langProfiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "ing", "ion", "of "),
+    "es" -> Set("que", "los", "de ", "ión", "ado"),
+    "de" -> Set("der", "ein", "und", "sch", "en "),
+    "fr" -> Set("les", "de ", "ent", "que", "ion"),
+    "zh" -> Set.empty
+  )
+
+  def langIdOf(text: String): String = {
+    val t = text.toLowerCase
+    val grams = t.sliding(3).take(2000).toSeq
+    val scores = langProfiles.map { case (l, prof) =>
+      l -> (if (prof.isEmpty) 0 else grams.count(prof.contains))
+    }
+    val best = scores.maxBy { case (l, s) => (s, l) }
+    if (best._2 == 0) "und" else best._1
+  }
+
+  def langId(docs: DataFrame): DataFrame = {
+    val lid = udf((t: String) => langIdOf(t))
+    docs.select(col("doc_id"), lid(col("text")).as("pred_lang"), col("lang"))
+  }
+
+  /** Document fingerprint: Karp-Rabin rolling hash over bytes; returns the
+    * min of the rolling window hashes (winnowing-style robust id). */
+  def fingerprint(text: String, window: Int = 16): Long = {
+    val bytes = text.getBytes("UTF-8")
+    if (bytes.length < window) return GbHash.hash64(text)
+    val B = 1000000007L
+    var pow = 1L
+    var i = 0
+    while (i < window - 1) { pow = pow * B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < window) { h = h * B + (bytes(i) & 0xff); i += 1 }
+    var min = h
+    while (i < bytes.length) {
+      h = (h - (bytes(i - window) & 0xff) * pow) * B + (bytes(i) & 0xff)
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val fp = udf((t: String) => fingerprint(t))
+    docs.select(col("doc_id"), fp(col("text")).as("fingerprint"))
+  }
+
+  // ------------------------------------------------------------ multimodal
+
+  /** Multimodal column plumbing with a STUBBED decoder: treats a binary
+    * column as an opaque media blob, "decodes" it with a deterministic
+    * fake (real image/audio libs are not in this container), and returns
+    * typed metadata + a fixed-shape feature vector. The Spark-side shape
+    * — binary column in, struct(metadata, array<float> features) out,
+    * batch-iterated per partition — is the real contract; swap
+    * `stubDecode` for an actual decoder on a cluster with codecs. */
+  def stubDecode(blob: Array[Byte]): (Int, Int, Array[Float]) = {
+    val h = GbHash.hash64(blob, 0, math.min(blob.length, 256), 0L)
+    val w = 64 + math.floorMod(h, 448).toInt // fake width 64..512
+    val ht = 64 + math.floorMod(h >> 16, 448).toInt
+    val feat = Array.tabulate(8)(i => ((h >>> (i * 8)) & 0xff).toFloat / 255f)
+    (w, ht, feat)
+  }
+
+  def decodeMedia(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val dec = udf((b: Array[Byte]) => stubDecode(if (b == null) Array.empty[Byte] else b))
+    df.select(col(idCol), dec(col(binCol)).as("m"))
+      .select(col(idCol), col("m._1").as("width"), col("m._2").as("height"), col("m._3").as("features"))
+  }
+}
