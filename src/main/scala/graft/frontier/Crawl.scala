@@ -137,22 +137,22 @@ object Crawl {
     isIndexed = Flags.has(r.flags, Flags.RepIsIndexed)
   )
 
-  /** Latest reply per uh48 (the only reply that exists logically —
-    * Spider.cpp:817-819). */
+  /** Latest reply per (firstIp, uh48) — the reply key carries the IP
+    * (Spider.h:370-377, reply parentDocId=0 Spider.cpp:817-819). */
   def latestReplies(replies: Dataset[FrontierReply]): Dataset[FrontierReply] = {
     import replies.sparkSession.implicits._
-    replies.groupByKey(_.uh48).reduceGroups { (a, b) =>
+    replies.groupByKey(r => (r.first_ip, r.uh48)).reduceGroups { (a, b) =>
       if (a.spidered_time > b.spidered_time) a
       else if (b.spidered_time > a.spidered_time) b
       else if (a.download_end_time >= b.download_end_time) a else b
     }.map(_._2)
   }
 
-  /** Merge duplicate requests per uh48 (Spider.cpp:4799-4836): min
-    * hopCount, min discoveryTime, OR of flags, freshest addedTime. */
+  /** Merge duplicate requests per (firstIp, uh48) (Spider.cpp:4799-4836):
+    * min hopCount, min discoveryTime, OR of flags, freshest addedTime. */
   def mergedRequests(requests: Dataset[FrontierRequest]): Dataset[FrontierRequest] = {
     import requests.sparkSession.implicits._
-    requests.groupByKey(_.uh48).reduceGroups { (a, b) =>
+    requests.groupByKey(r => (r.first_ip, r.uh48)).reduceGroups { (a, b) =>
       val base = if (a.added_time >= b.added_time) a else b
       base.copy(
         hop_count = math.min(a.hop_count, b.hop_count),
@@ -169,8 +169,99 @@ object Crawl {
                           spiderTimeMs: Long, forceDelete: Boolean,
                           ipMaxSpiders: Int, ipWaitMs: Int)
 
-  /** Schedule: produce this iteration's fetch batch (doledb analogue). */
+  /** Schedule: produce this iteration's fetch batch (doledb analogue).
+    * Fully native Catalyst pipeline — rule table compiled to
+    * when/otherwise columns (whole-stage codegen, no per-row objects);
+    * falls back to the reference-exact interpreter if the rule table has
+    * tokens the compiler doesn't support. */
   def schedule(requests: Dataset[FrontierRequest],
+               replies: Dataset[FrontierReply],
+               ipState: Dataset[IpState],
+               domState: Dataset[DomState],
+               cfg: Config,
+               iteration: Int): Dataset[FetchTask] = {
+    val spark = requests.sparkSession
+    import spark.implicits._
+    val now = nowSecs(cfg, iteration)
+    val nowMillis = nowMs(cfg, iteration)
+
+    val c = RuleCompiler.Cols(
+      url = col("url"), hopCount = col("hop_count"), flags = col("flags"),
+      addedTime = col("added_time"), discoveryTime = col("discovery_time"),
+      siteNumInlinks = col("site_num_inlinks"), pageNumInlinks = lit(0),
+      repExists = col("rep_exists"), repSpideredTime = col("rep_spidered_time"),
+      repErrCode = col("rep_err_code"), repErrCount = col("rep_err_count"),
+      repHttpStatus = col("rep_http_status"), now = lit(now))
+
+    RuleCompiler.compile(cfg.rules, c) match {
+      case None => scheduleInterpreted(requests, replies, ipState, domState, cfg, iteration)
+      case Some(compiled) =>
+        // merge duplicate requests per uh48 with native aggregates
+        // (Spider.cpp:4799-4836: min hop, min discovery, freshest rest)
+        // spiderdb is keyed (firstIp, uh48) — Spider.h:370-377 — so
+        // duplicate uh48s under different IPs are independent records
+        val merged = requests.toDF().groupBy("first_ip", "uh48").agg(
+          min("hop_count").as("hop_count"),
+          min("discovery_time").as("discovery_time"),
+          max("added_time").as("added_time"),
+          expr("bit_or(flags)").as("flags"),
+          max("site_num_inlinks").as("site_num_inlinks"),
+          max("err_count").as("err_count"),
+          min("url").as("url"),
+          min("dom_hash32").as("dom_hash32"))
+
+        // latest reply per uh48: lexicographic struct max on
+        // (spidered_time, download_end_time) — no object shuffle
+        val latestRep = replies.toDF().groupBy("first_ip", "uh48").agg(
+          max(struct(col("spidered_time"), col("download_end_time"),
+            col("err_code"), col("err_count"), col("http_status"))).as("r"))
+          .select(col("first_ip").as("rep_ip"), col("uh48").as("rep_uh48"),
+            col("r.spidered_time").as("rep_spidered_time"),
+            col("r.err_code").as("rep_err_code"),
+            col("r.err_count").as("rep_err_count"),
+            col("r.http_status").as("rep_http_status"))
+
+        val joined = merged
+          .join(latestRep, col("uh48") === col("rep_uh48") && col("first_ip") === col("rep_ip"), "left_outer")
+          .withColumn("rep_exists", col("rep_uh48").isNotNull)
+          .withColumn("rep_spidered_time", coalesce(col("rep_spidered_time"), lit(0L)))
+          .withColumn("rep_err_code", coalesce(col("rep_err_code"), lit(0)))
+          .withColumn("rep_err_count", coalesce(col("rep_err_count"), lit(0)))
+          .withColumn("rep_http_status", coalesce(col("rep_http_status"), lit(0)))
+          .withColumn("flags",
+            when(col("rep_exists"), col("flags").bitwiseOR(lit(Flags.HadReply))).otherwise(col("flags")))
+          .join(ipState.toDF().withColumnRenamed("first_ip", "ip_key"),
+            col("first_ip") === col("ip_key"), "left_outer")
+          .join(domState.toDF().withColumnRenamed("dom_hash32", "dom_key"),
+            col("dom_hash32") === col("dom_key"), "left_outer")
+
+        val lastMs = coalesce(col("last_download_end_ms"), lit(-1L))
+        val domCd = coalesce(col("crawl_delay_ms"), lit(-1))
+        val spiderTime = RuleCompiler.spiderTimeCol(c, compiled, lastMs, domCd)
+
+        val scored = joined
+          .withColumn("ufn", compiled.ufn)
+          .withColumn("priority", compiled.priority)
+          .withColumn("force_delete", compiled.forceDelete)
+          .withColumn("ip_max", compiled.ipMaxSpiders)
+          .withColumn("spider_time_ms", spiderTime)
+          .filter(!col("force_delete") && col("spider_time_ms") <= nowMillis)
+
+        val w = Window.partitionBy(col("first_ip"))
+          .orderBy(col("priority").desc, col("hop_count").asc, col("spider_time_ms").asc, col("uh48").asc)
+        scored
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= least(col("ip_max"), lit(cfg.maxWinnersPerIp)))
+          .withColumn("seq_in_ip", (col("rank") - 1).cast("int"))
+          .select(col("uh48"), col("first_ip"), col("url"), col("priority"), col("ufn"),
+            col("spider_time_ms"), col("hop_count"), col("seq_in_ip"))
+          .as[FetchTask]
+    }
+  }
+
+  /** Reference-exact interpreted path (kept as compiler fallback and as
+    * the cross-validation baseline). */
+  def scheduleInterpreted(requests: Dataset[FrontierRequest],
                replies: Dataset[FrontierReply],
                ipState: Dataset[IpState],
                domState: Dataset[DomState],
@@ -185,8 +276,9 @@ object Crawl {
     val reqs = mergedRequests(requests)
     val reps = latestReplies(replies)
 
-    // J1: request ⟕ latest reply, sort-merge on uh48
-    val joined = reqs.joinWith(reps, reqs("uh48") === reps("uh48"), "left_outer")
+    // J1: request ⟕ latest reply, sort-merge on (first_ip, uh48)
+    val joined = reqs.joinWith(reps,
+      reqs("uh48") === reps("uh48") && reqs("first_ip") === reps("first_ip"), "left_outer")
 
     // politeness state joins (first_ip, dom_hash32) — both tiny vs frontier
     val withIp = joined
@@ -433,24 +525,39 @@ object Crawl {
 
   def snapDir(workdir: String, i: Int): String = f"$workdir/snap_$i%05d"
 
-  def writeSnapshot(workdir: String, i: Int,
-                    requests: Dataset[FrontierRequest],
-                    replies: Dataset[FrontierReply],
-                    ipState: Dataset[IpState],
-                    domState: Dataset[DomState],
-                    fetchLog: DataFrame,
-                    metrics: Seq[MetricsRow]): Unit = {
-    val d = snapDir(workdir, i)
-    requests.write.mode("overwrite").parquet(s"$d/requests")
-    replies.write.mode("overwrite").parquet(s"$d/replies")
-    ipState.write.mode("overwrite").parquet(s"$d/ip_state")
-    domState.write.mode("overwrite").parquet(s"$d/dom_state")
-    fetchLog.write.mode("overwrite").parquet(s"$d/fetch_log")
-    val spark = requests.sparkSession
+  /** LSM-style snapshot reads: a snapshot holds either a full table
+    * (`requests`, written at init/compaction — the memtable-dump/merge
+    * analogue, Rdb.cpp) or an append-only delta (`requests_delta`).
+    * Readers union deltas back to the last full snapshot, so an
+    * iteration writes O(new urls), not O(frontier). Parquet column
+    * pruning keeps the seen-set scan (uh48 only) cheap. */
+  private def loadTable(spark: SparkSession, workdir: String, i: Int, name: String): DataFrame = {
+    var parts = List.empty[String]
+    var k = i
+    var done = false
+    while (k >= 0 && !done) {
+      val full = s"${snapDir(workdir, k)}/$name"
+      val delta = s"${snapDir(workdir, k)}/${name}_delta"
+      if (new java.io.File(full).exists) { parts ::= full; done = true }
+      else if (new java.io.File(delta).exists) { parts ::= delta; k -= 1 }
+      else k -= 1
+    }
+    parts.map(spark.read.parquet(_)).reduce(_ unionByName _)
+  }
+
+  def loadRequests(spark: SparkSession, workdir: String, i: Int): Dataset[FrontierRequest] = {
     import spark.implicits._
-    spark.createDataset(metrics).write.mode("overwrite").parquet(s"$d/metrics")
-    // manifest marks the snapshot complete (atomicity for resume)
-    val m = metrics.map(x => s"""{"partition":${x.partition},"scheduled":${x.scheduled},"fetched":${x.fetched},"new_urls":${x.new_urls}}""").mkString("[", ",", "]")
+    loadTable(spark, workdir, i, "requests").as[FrontierRequest]
+  }
+
+  def loadReplies(spark: SparkSession, workdir: String, i: Int): Dataset[FrontierReply] = {
+    import spark.implicits._
+    loadTable(spark, workdir, i, "replies").as[FrontierReply]
+  }
+
+  def writeManifest(workdir: String, i: Int, metrics: Seq[MetricsRow]): Unit = {
+    val d = snapDir(workdir, i)
+    val m = metrics.map(x => s"""{"partition":${x.partition},"scheduled":${x.scheduled},"fetched":${x.fetched},"new_urls":${x.new_urls},"dups_dropped":${x.dups_dropped},"wall_ms":${x.wall_ms}}""").mkString("[", ",", "]")
     Files.writeString(Paths.get(s"$d/MANIFEST.json"),
       s"""{"iteration":$i,"lineage":$m}""")
   }
@@ -469,59 +576,59 @@ object Crawl {
   final case class IterationResult(scheduled: Long, fetched: Long, robotsDenied: Long,
                                    errors: Long, newUrls: Long, dupsDropped: Long)
 
-  /** Run one full crawl iteration: read snapshot i-1, write snapshot i. */
+  /** Run one full crawl iteration: read state as of snapshot i-1, write
+    * snapshot i (request/reply DELTAS — O(new data), not O(frontier)). */
   def runIteration(spark: SparkSession, workdir: String, i: Int,
                    pages: Dataset[PageRow], robots: Dataset[RobotsRow],
                    hostMeta: Dataset[HostMeta], cfg: Config): IterationResult = {
     import spark.implicits._
     val prev = snapDir(workdir, i - 1)
-    val requests = spark.read.parquet(s"$prev/requests").as[FrontierRequest]
-    val replies = spark.read.parquet(s"$prev/replies").as[FrontierReply]
+    val requests = loadRequests(spark, workdir, i - 1)
+    val replies = loadReplies(spark, workdir, i - 1)
     val ipState = spark.read.parquet(s"$prev/ip_state").as[IpState]
     val domState = spark.read.parquet(s"$prev/dom_state").as[DomState]
 
     val t0 = System.currentTimeMillis()
+    val d = snapDir(workdir, i)
 
     // A8 overflow guard: IPs with too many requests stop accepting outlinks
     val overflowIps = requests.groupBy("first_ip").count()
       .filter(col("count") > cfg.overflowCap).select("first_ip")
 
     val batch = schedule(requests, replies, ipState, domState, cfg, i)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val scheduled = batch.count()
-
     val results = fetch(batch, pages, robots, hostMeta, cfg, i)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val fetched = results.filter(_.errCode == Errs.OK).count()
-    val robotsDenied = results.filter(_.errCode == Errs.EDOCDISALLOWED).count()
-    val errors = results.filter(r => r.errCode != Errs.OK && r.errCode != Errs.EDOCDISALLOWED).count()
 
-    val newReplies = repliesOf(results, cfg, i)
+    // one aggregation pass for all outcome counters
+    val stats = results
+      .select(col("errCode"), size(col("outlinks")).as("n_out"))
+      .groupBy("errCode").agg(count(lit(1)).as("n"), sum("n_out").as("outs"))
+      .collect()
+      .map(r => (r.getInt(0), (r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2))))
+      .toMap
+    val scheduled = stats.values.map(_._1).sum
+    val fetched = stats.getOrElse(Errs.OK, (0L, 0L))._1
+    val robotsDenied = stats.getOrElse(Errs.EDOCDISALLOWED, (0L, 0L))._1
+    val errors = scheduled - fetched - robotsDenied
+    val outlinkTotal = stats.values.map(_._2).sum
 
     // outlink candidates (drop those landing on overflowed IPs — A8)
     val candidates = results.flatMap(_.outlinks)
       .join(overflowIps.withColumnRenamed("first_ip", "of_ip"), col("first_ip") === col("of_ip"), "left_anti")
       .as[FrontierRequest]
 
-    val candCount = candidates.count()
-    val fresh = admitNew(candidates, requests, expectedSeen = requests.count(), cfg.bloomFpp)
+    val fresh = admitNew(candidates, requests, expectedSeen = math.max(outlinkTotal * 4, 100000L), cfg.bloomFpp)
       // also dedup within the batch itself (J4): keep min hop per uh48
       .groupByKey(_.uh48).reduceGroups { (a, b) =>
         if (a.hop_count != b.hop_count) { if (a.hop_count < b.hop_count) a else b }
         else if (a.added_time <= b.added_time) a else b
       }.map(_._2)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val newUrls = fresh.count()
 
-    // mark fetched requests as hadReply (so `isnew` flips next iteration)
-    val fetchedKeys = results.map(_.task.uh48).toDF("fuh48")
-    val updatedRequests = requests.toDF()
-      .join(fetchedKeys, col("uh48") === col("fuh48"), "left_outer")
-      .withColumn("flags", when(col("fuh48").isNotNull, col("flags").bitwiseOR(lit(Flags.HadReply))).otherwise(col("flags")))
-      .drop("fuh48")
-      .as[FrontierRequest]
-
-    val allRequests = updatedRequests.union(fresh)
+    // append-only deltas: an iteration never rewrites the frontier —
+    // `hadReply`/`isnew` is derived from the J1 reply join at schedule time
+    fresh.write.mode("overwrite").parquet(s"$d/requests_delta")
+    repliesOf(results, cfg, i).write.mode("overwrite").parquet(s"$d/replies_delta")
+    val newUrls = spark.read.parquet(s"$d/requests_delta").count() // metadata count
 
     // politeness state update: last download end per IP; crawl delay per dom
     val ipUpdates = results.groupByKey(_.task.first_ip)
@@ -534,66 +641,71 @@ object Crawl {
       .map(r => DomState(GbUrl.parse(r.task.url).domHash32, r.crawlDelayMs))
     val mergedDom = domState.union(domUpdates)
       .groupByKey(_.dom_hash32).reduceGroups((a, b) => b).map(_._2)
+    mergedIp.write.mode("overwrite").parquet(s"$d/ip_state")
+    mergedDom.write.mode("overwrite").parquet(s"$d/dom_state")
 
     // crawl-order log: (iteration, first_ip, seq, url) — the golden order
-    val fetchLog = results.map(r => (i, r.task.first_ip, r.task.seq_in_ip, r.task.url, r.task.priority, r.errCode))
+    results.map(r => (i, r.task.first_ip, r.task.seq_in_ip, r.task.url, r.task.priority, r.errCode))
       .toDF("iteration", "first_ip", "seq", "url", "priority", "err_code")
+      .write.mode("overwrite").parquet(s"$d/fetch_log")
 
     val wall = System.currentTimeMillis() - t0
     val metrics = Seq(MetricsRow(i, 0, scheduled, fetched, robotsDenied, errors, newUrls,
-      candCount - newUrls, 0, wall))
-
-    writeSnapshot(workdir, i, allRequests, replies.union(newReplies), mergedIp, mergedDom, fetchLog, metrics)
-    batch.unpersist()
+      outlinkTotal - newUrls, 0, wall))
+    spark.createDataset(metrics).write.mode("overwrite").parquet(s"$d/metrics")
+    writeManifest(workdir, i, metrics)
     results.unpersist()
-    fresh.unpersist()
-    IterationResult(scheduled, fetched, robotsDenied, errors, newUrls, candCount - newUrls)
+    IterationResult(scheduled, fetched, robotsDenied, errors, newUrls, outlinkTotal - newUrls)
   }
 
   /** J3: frontier compaction — dedupSpiderdbList (Spider.cpp:13609-13823):
-    * one request per (uh48, signature) keeping the OLDEST addedTime
-    * (discovery semantics); latest reply per uh48. */
+    * rewrite the delta chain into one full table, one request per
+    * (uh48, signature) keeping the OLDEST addedTime (discovery
+    * semantics); latest reply per uh48. This is the RdbMerge analogue. */
   def compact(spark: SparkSession, workdir: String, i: Int): Unit = {
     import spark.implicits._
     val d = snapDir(workdir, i)
-    val requests = spark.read.parquet(s"$d/requests").as[FrontierRequest]
-    val replies = spark.read.parquet(s"$d/replies").as[FrontierReply]
+    val requests = loadRequests(spark, workdir, i)
+    val replies = loadReplies(spark, workdir, i)
     val sigMask = Flags.IsNewOutlink | Flags.IsInjecting | Flags.IsAddUrl | Flags.IsPageReindex
     val dedupedReq = requests
       .groupByKey(r => (r.uh48, r.site_hash32, r.hop_count, r.flags & sigMask))
       .reduceGroups((a, b) => if (a.added_time <= b.added_time) a else b)
       .map(_._2)
     val dedupedRep = latestReplies(replies)
-    dedupedReq.write.mode("overwrite").parquet(s"$d/requests_compact")
-    dedupedRep.write.mode("overwrite").parquet(s"$d/replies_compact")
-    // swap in
+    dedupedReq.write.mode("overwrite").parquet(s"$d/requests_full_tmp")
+    dedupedRep.write.mode("overwrite").parquet(s"$d/replies_full_tmp")
+    // swap in: the full table replaces this snapshot's delta
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$d/requests"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$d/replies"), true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$d/requests_compact"), new org.apache.hadoop.fs.Path(s"$d/requests"))
-    fs.rename(new org.apache.hadoop.fs.Path(s"$d/replies_compact"), new org.apache.hadoop.fs.Path(s"$d/replies"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$d/requests_delta"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$d/replies_delta"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$d/requests_full_tmp"), new org.apache.hadoop.fs.Path(s"$d/requests"))
+    fs.rename(new org.apache.hadoop.fs.Path(s"$d/replies_full_tmp"), new org.apache.hadoop.fs.Path(s"$d/replies"))
   }
 
-  /** Bootstrap snapshot 0 from seeds. */
+  /** Bootstrap snapshot 0 from seeds (full tables). */
   def init(spark: SparkSession, workdir: String, seedUrls: Seq[String], cfg: Config): Unit = {
     import spark.implicits._
-    val reqs = seeds(spark, seedUrls, cfg)
-    writeSnapshot(workdir, 0, reqs,
-      spark.emptyDataset[FrontierReply],
-      spark.emptyDataset[IpState],
-      spark.emptyDataset[DomState],
-      Seq.empty[(Int, Int, Int, String, Int, Int)].toDF("iteration", "first_ip", "seq", "url", "priority", "err_code"),
-      Seq(MetricsRow(0, 0, 0, 0, 0, 0, seedUrls.size, 0, 0, 0)))
+    val d = snapDir(workdir, 0)
+    seeds(spark, seedUrls, cfg).write.mode("overwrite").parquet(s"$d/requests")
+    spark.emptyDataset[FrontierReply].write.mode("overwrite").parquet(s"$d/replies")
+    spark.emptyDataset[IpState].write.mode("overwrite").parquet(s"$d/ip_state")
+    spark.emptyDataset[DomState].write.mode("overwrite").parquet(s"$d/dom_state")
+    Seq.empty[(Int, Int, Int, String, Int, Int)].toDF("iteration", "first_ip", "seq", "url", "priority", "err_code")
+      .write.mode("overwrite").parquet(s"$d/fetch_log")
+    writeManifest(workdir, 0, Seq(MetricsRow(0, 0, 0, 0, 0, 0, seedUrls.size, 0, 0, 0)))
   }
 
   /** Run (or resume) a crawl for `iterations` steps. */
   def run(spark: SparkSession, workdir: String, spec: Corpus.Spec, iterations: Int,
-          cfg: Config = Config(), compactEvery: Int = 4): Seq[IterationResult] = {
+          cfg: Config = Config(), compactEvery: Int = 4,
+          seedUrls: Seq[String] = Nil): Seq[IterationResult] = {
     val pages = Corpus.pages(spark, spec).persist(StorageLevel.MEMORY_AND_DISK)
     val robots = Corpus.robots(spark, spec)
     val hostMeta = Corpus.hostMeta(spark, spec)
     val start = latestSnapshot(workdir) match {
-      case None => init(spark, workdir, Corpus.seeds(spec), cfg); 1
+      case None =>
+        init(spark, workdir, if (seedUrls.nonEmpty) seedUrls else Corpus.seeds(spec), cfg); 1
       case Some(n) => n + 1
     }
     val out = (start until start + iterations).map { i =>

@@ -1,35 +1,43 @@
 package graft.tools
-
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
+import graft.frontier._
+import graft.core.GbHash
 
-/** Ad-hoc driver used by the verify workflow to exercise library surfaces
-  * inside a real Spark session. Not part of the public API. */
+/** Ad-hoc driver used by the verify workflow. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-scratch")
-      .config("spark.sql.shuffle.partitions", 4)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
-
-    // extract_text over binary html column — the fetch/parse stage shape
-    val pages = Seq(
-      ("http://h0.test/", "<html><head><title>Home</title></head><body><p>Welcome &amp; enjoy</p><script>var x='<p>no</p>';</script></body></html>"),
-      ("http://h0.test/a", "<p>café &quot;x&quot; 4<sup>th</sup></p>"),
-      ("http://h1.test/", "<select><option>alpha</option></select><div>visible</div>")
-    ).toDF("url", "html_str")
-      .withColumn("html", col("html_str").cast("binary")).drop("html_str")
-
-    val extract = udf((h: Array[Byte]) => graft.core.GbXml.extractText(h))
-    val out = pages.withColumn("text", extract($"html"))
-      .withColumn("text_vis", regexp_replace($"text", "\n", "\\\\n"))
-    out.select("url", "text_vis").show(false)
-    out.select(length($"text").as("chars"), octet_length($"text").as("bytes")).show()
-    println("rows=" + out.count())
-    spark.stop()
+    def kernel(cpus: Int, n: Long): Unit = {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      val spark = SparkSession.builder().master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false").config("spark.local.dir", "/dev/shm/spark-tmp").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      import spark.implicits._
+      val reqs = spark.range(n).mapPartitions(_.map { i =>
+        val hostIdx = i / 40
+        val p = (i % 40).toInt
+        val host = s"www.b$hostIdx.test"
+        val url = if (p == 0) s"http://$host/" else s"http://$host/p$p.html"
+        val ip0 = GbHash.hash32(host)
+        val ip = if (ip0 == 0 || ip0 == -1) 1 else ip0
+        FrontierRequest(GbHash.uh48(url), ip, url, ip0, GbHash.hash32(s"b$hostIdx.test"),
+          ip0, -1, 1400000000L, 1400000000L, math.min(p, 4), "en", Flags.IsNewOutlink, 0, 0L)
+      })
+      val cached = reqs.toDF().cache()
+      cached.count() // materialize in-memory columnar
+      val reqsC = cached.as[FrontierRequest]
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        Crawl.schedule(reqsC, spark.emptyDataset[FrontierReply],
+          spark.emptyDataset[IpState], spark.emptyDataset[DomState], Crawl.Config(), 1).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm
+      val times = (1 to 3).map(_ => once())
+      println(f"cpus=$cpus n=$n best=${times.min}%.2f rate=${n / times.min}%.0f all=${times.map(t => f"$t%.2f").mkString(",")}")
+      spark.stop()
+    }
+    kernel(8, 16000000L)
+    kernel(32, 16000000L)
   }
 }

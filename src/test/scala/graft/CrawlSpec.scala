@@ -32,7 +32,7 @@ class CrawlSpec extends AnyFunSuite {
 
   private def seenSet(workdir: String, i: Int): Set[Long] = {
     import spark.implicits._
-    spark.read.parquet(s"${Crawl.snapDir(workdir, i)}/requests")
+    Crawl.loadRequests(spark, workdir, i)
       .select("uh48").as[Long].collect().toSet
   }
 
@@ -76,7 +76,7 @@ class CrawlSpec extends AnyFunSuite {
     import spark.implicits._
     val d = tmpdir()
     Crawl.run(spark, d, spec, 4, cfg) // compactEvery=4 → snapshot 4 compacted
-    val reqs = spark.read.parquet(s"${Crawl.snapDir(d, 4)}/requests")
+    val reqs = Crawl.loadRequests(spark, d, 4).toDF()
     val total = reqs.count()
     val distinctKeys = reqs.select("uh48", "site_hash32", "hop_count").distinct().count()
     assert(total == distinctKeys, s"compaction must dedup ($total vs $distinctKeys)")
