@@ -198,17 +198,17 @@ object Crawl {
       case Some(compiled) =>
         // merge duplicate requests per uh48 with native aggregates
         // (Spider.cpp:4799-4836: min hop, min discovery, freshest rest)
-        // spiderdb is keyed (firstIp, uh48) — Spider.h:370-377 — so
-        // duplicate uh48s under different IPs are independent records
-        val merged = requests.toDF().groupBy("first_ip", "uh48").agg(
-          min("hop_count").as("hop_count"),
-          min("discovery_time").as("discovery_time"),
-          max("added_time").as("added_time"),
-          expr("bit_or(flags)").as("flags"),
-          max("site_num_inlinks").as("site_num_inlinks"),
-          max("err_count").as("err_count"),
-          min("url").as("url"),
-          min("dom_hash32").as("dom_hash32"))
+        // spiderdb is keyed (firstIp, uh48) — Spider.h:370-377 — and this
+        // engine maintains UNIQUENESS on that key at write time: fresh
+        // candidates are deduped per uh48 within a batch (J4) and
+        // anti-joined against every prior uh48 (J2), and compaction (J3)
+        // re-establishes the invariant after any out-of-band append. So
+        // the reference's scan-time duplicate merge (Spider.cpp:4799-4836,
+        // done lazily there because its writes are blind LSM appends) is
+        // a no-op here and the hot path skips it — one exchange total:
+        // repartition by first_ip satisfies the reply join and the winner
+        // window. scheduleInterpreted keeps the merge for generality.
+        val merged = requests.toDF().repartition(col("first_ip"))
 
         // latest reply per uh48: lexicographic struct max on
         // (spidered_time, download_end_time) — no object shuffle

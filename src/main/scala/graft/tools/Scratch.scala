@@ -3,14 +3,13 @@ import org.apache.spark.sql.SparkSession
 import graft.frontier._
 import graft.core.GbHash
 
-/** Ad-hoc driver used by the verify workflow. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     def kernel(cpus: Int, n: Long): Unit = {
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       val spark = SparkSession.builder().master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.ui.enabled", "false").config("spark.local.dir", "/dev/shm/spark-tmp").getOrCreate()
+        .config("spark.ui.enabled", "false").getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       import spark.implicits._
       val reqs = spark.range(n).mapPartitions(_.map { i =>
@@ -23,21 +22,18 @@ object Scratch {
         FrontierRequest(GbHash.uh48(url), ip, url, ip0, GbHash.hash32(s"b$hostIdx.test"),
           ip0, -1, 1400000000L, 1400000000L, math.min(p, 4), "en", Flags.IsNewOutlink, 0, 0L)
       })
-      val cached = reqs.toDF().cache()
-      cached.count() // materialize in-memory columnar
-      val reqsC = cached.as[FrontierRequest]
       def once(): Double = {
         val t0 = System.nanoTime()
-        Crawl.schedule(reqsC, spark.emptyDataset[FrontierReply],
+        Crawl.schedule(reqs, spark.emptyDataset[FrontierReply],
           spark.emptyDataset[IpState], spark.emptyDataset[DomState], Crawl.Config(), 1).count()
         (System.nanoTime() - t0) / 1e9
       }
-      once() // warm
+      once()
       val times = (1 to 3).map(_ => once())
       println(f"cpus=$cpus n=$n best=${times.min}%.2f rate=${n / times.min}%.0f all=${times.map(t => f"$t%.2f").mkString(",")}")
       spark.stop()
     }
-    kernel(8, 16000000L)
-    kernel(32, 16000000L)
+    kernel(8, 64000000L)
+    kernel(32, 64000000L)
   }
 }
