@@ -19,12 +19,15 @@ object SparkEntry {
   private def read(s: SparkSession, dir: String, t: String): DataFrame =
     s.read.parquet(s"$dir/$t.parquet")
 
-  /** Flagship: extraction + uh48 over the synthetic corpus (micro). */
+  /** Flagship: native-expression extraction + uh48 over the synthetic
+    * corpus (micro) — byte-verifies extract_text against the golden text. */
   def entry(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val uh = udf((u: String) => graft.core.GbHash.uh48(u))
+    import graft.functions.GraftFunctions._
     Corpus.pages(spark, Corpus.micro)
-      .select(col("url"), uh(col("url")).as("uh48"), length(col("text")).cast("long").as("text_len"))
+      .select(col("url"), uh48(col("url")).as("uh48"),
+        extractText(col("html")).as("etext"), col("text"))
+      .filter(col("etext") === col("text"))
+      .select(col("url"), col("uh48"), length(col("text")).cast("long").as("text_len"))
   }
 
   // fixed crawl-function fixtures (VALUES-oracle inputs)

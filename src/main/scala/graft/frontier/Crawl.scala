@@ -362,8 +362,7 @@ object Crawl {
     val nowMillis = nowMs(cfg, iteration)
     val rules = cfg.rules
 
-    val hostOf = udf((u: String) => GbUrl.parse(u).host)
-    val withHost = batch.withColumn("host", hostOf(col("url")))
+    val withHost = batch.withColumn("host", graft.functions.GraftFunctions.urlHost(col("url")))
 
     // robots + host_meta are O(#hosts): broadcast when small, else the
     // join shuffles on host (both sides partitioned by host)

@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.{GbHash, GbUrl, GbXml}
+
+/** JVM entry points the generated code calls (whole-stage codegen emits
+  * direct static calls — no boxing, no UDF SerDe). */
+object Native {
+  def uh48(s: UTF8String): Long = GbHash.uh48(s.toString)
+  def hash32(s: UTF8String): Int = GbHash.hash32(s.toString)
+  def canonicalizeUrl(s: UTF8String): UTF8String = UTF8String.fromString(GbUrl.parse(s.toString).url)
+  def hostOf(s: UTF8String): UTF8String = UTF8String.fromString(GbUrl.parse(s.toString).host)
+  def domainOf(s: UTF8String): UTF8String = UTF8String.fromString(GbUrl.parse(s.toString).domain)
+  def firstIpOf(s: UTF8String): Int = { val u = GbUrl.parse(s.toString); u.fakeFirstIp }
+  def extractText(html: Array[Byte]): UTF8String = UTF8String.fromBytes(GbXml.extractTextBytes(html))
+}
+
+/** Native Catalyst expressions for the engine's scalar kernel functions
+  * (SURVEY §4 "Custom needed"): codegen-friendly, null-safe, registered
+  * as SQL functions `uh48`, `gb_hash32`, `canonicalize_url`, `url_host`,
+  * `url_domain`, `fake_first_ip`, `extract_text` via
+  * [[GraftExtensions]] (spark.sql.extensions) or [[registerAll]]. */
+abstract class GraftUnary(name: String, javaCall: String, dt: DataType) extends UnaryExpression {
+  override def dataType: DataType = dt
+  override def prettyName: String = name
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Native.$javaCall($c)")
+}
+
+case class Uh48Expr(child: Expression) extends GraftUnary("uh48", "uh48", LongType) {
+  override protected def nullSafeEval(in: Any): Any = Native.uh48(in.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+case class Hash32Expr(child: Expression) extends GraftUnary("gb_hash32", "hash32", IntegerType) {
+  override protected def nullSafeEval(in: Any): Any = Native.hash32(in.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+case class CanonicalizeUrlExpr(child: Expression) extends GraftUnary("canonicalize_url", "canonicalizeUrl", StringType) {
+  override protected def nullSafeEval(in: Any): Any = Native.canonicalizeUrl(in.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+case class UrlHostExpr(child: Expression) extends GraftUnary("url_host", "hostOf", StringType) {
+  override protected def nullSafeEval(in: Any): Any = Native.hostOf(in.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+case class UrlDomainExpr(child: Expression) extends GraftUnary("url_domain", "domainOf", StringType) {
+  override protected def nullSafeEval(in: Any): Any = Native.domainOf(in.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+case class FakeFirstIpExpr(child: Expression) extends GraftUnary("fake_first_ip", "firstIpOf", IntegerType) {
+  override protected def nullSafeEval(in: Any): Any = Native.firstIpOf(in.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+case class ExtractTextExpr(child: Expression) extends GraftUnary("extract_text", "extractText", StringType) {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(s"extract_text needs binary, got ${child.dataType}")
+  override protected def nullSafeEval(in: Any): Any = Native.extractText(in.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+object GraftFunctions {
+  import org.apache.spark.sql.{Column, SparkSession}
+  import org.apache.spark.sql.GraftShim.{toColumn => column, toExpression => expression}
+
+  def uh48(c: Column): Column = column(Uh48Expr(expression(c)))
+  def gbHash32(c: Column): Column = column(Hash32Expr(expression(c)))
+  def canonicalizeUrl(c: Column): Column = column(CanonicalizeUrlExpr(expression(c)))
+  def urlHost(c: Column): Column = column(UrlHostExpr(expression(c)))
+  def urlDomain(c: Column): Column = column(UrlDomainExpr(expression(c)))
+  def fakeFirstIp(c: Column): Column = column(FakeFirstIpExpr(expression(c)))
+  def extractText(c: Column): Column = column(ExtractTextExpr(expression(c)))
+
+  private val fns: Seq[(String, Expression => Expression)] = Seq(
+    "uh48" -> (Uh48Expr(_)),
+    "gb_hash32" -> (Hash32Expr(_)),
+    "canonicalize_url" -> (CanonicalizeUrlExpr(_)),
+    "url_host" -> (UrlHostExpr(_)),
+    "url_domain" -> (UrlDomainExpr(_)),
+    "fake_first_ip" -> (FakeFirstIpExpr(_)),
+    "extract_text" -> (ExtractTextExpr(_)))
+
+  /** Register as SQL functions on an existing session. */
+  def registerAll(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions", name),
+      (children: Seq[Expression]) => builder(children.head))
+  }
+}
+
+/** `--conf spark.sql.extensions=graft.functions.GraftExtensions` */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    Seq[(String, Seq[Expression] => Expression)](
+      "uh48" -> (cs => Uh48Expr(cs.head)),
+      "gb_hash32" -> (cs => Hash32Expr(cs.head)),
+      "canonicalize_url" -> (cs => CanonicalizeUrlExpr(cs.head)),
+      "url_host" -> (cs => UrlHostExpr(cs.head)),
+      "url_domain" -> (cs => UrlDomainExpr(cs.head)),
+      "fake_first_ip" -> (cs => FakeFirstIpExpr(cs.head)),
+      "extract_text" -> (cs => ExtractTextExpr(cs.head))
+    ).foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), new ExpressionInfo("graft.functions", name), builder))
+    }
+  }
+}
