@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.frontier._
+import graft.rules._
+
+/** Replay against the committed golden files (the reference's
+  * crctable.dat pattern, qa.cpp:234-262): any semantic drift in hashing,
+  * canonicalization, robots, url-filters, extraction, crawl order, or the
+  * seen set fails here even if the dynamic determinism tests still pass. */
+class GoldenSpec extends AnyFunSuite {
+
+  private def golden(name: String): Seq[String] = {
+    val in = getClass.getResourceAsStream(s"/golden/$name")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().toList finally src.close()
+  }
+
+  test("uh48 + host hash golden") {
+    golden("uh48.tsv").foreach { line =>
+      val Array(u, uh, h32) = line.split('\t')
+      assert(GbHash.uh48(u) == uh.toLong, u)
+      assert(GbHash.hash32(GbUrl.parse(u).host) == h32.toInt, u)
+    }
+  }
+
+  test("canonicalization golden") {
+    golden("canon.tsv").foreach { line =>
+      val f = line.split('\t')
+      val raw = f(0).replace("\\t", "\t")
+      val g = GbUrl.parse(raw)
+      assert(g.url == f(1), raw)
+      assert(g.domain == f(2), raw)
+      assert(g.tld == f(3), raw)
+      assert(g.port == f(4).toInt, raw)
+    }
+  }
+
+  test("robots golden") {
+    val body =
+      ("User-agent: Gigablast\nCrawl-delay: 2.5\n\n" +
+        "User-agent: *\nDisallow: /priv\nAllow: /priv/ok.html\nCrawl-delay: .5\nDisallow: sub\n").getBytes("UTF-8")
+    golden("robots.tsv").foreach { line =>
+      val Array(p, a, d) = line.split('\t')
+      val (allowed, delay) = Robots.evaluate(p, body)
+      assert(allowed == a.toBoolean, p)
+      assert(delay == d.toInt, p)
+    }
+  }
+
+  test("url-filter golden") {
+    val now = 1400003600L
+    golden("ufn.tsv").foreach { line =>
+      val f = line.split('\t')
+      val req = UfnRequest(url = f(0), hopCount = f(1).toInt, hadReply = f(2).toBoolean,
+        hasMediaExtension = f(3).toBoolean, addedTime = now - 5000)
+      val rep = if (f(2).toBoolean) Some(UfnReply(spideredTime = now - 1000)) else None
+      val n = UrlFilters.urlFilterNum(req, rep, now)
+      assert(n == f(4).toInt, line)
+      val pri = if (n >= 0) UrlFilters.defaultWebRules(n).priority else -1
+      assert(pri == f(5).toInt, line)
+    }
+  }
+
+  test("extracted-text golden (byte length + hash per page)") {
+    val spec = Corpus.micro
+    golden("text.tsv").foreach { line =>
+      val Array(url, len, h) = line.split('\t')
+      // find page by regenerating (deterministic corpus)
+      val found = (for {
+        k <- (0 until spec.nHosts).iterator
+        p <- (0 until spec.pagesPerHost).iterator
+        if Corpus.pageUrl(k, p, spec) == url
+      } yield Corpus.pageHtml(k, p, spec)).toSeq.headOption
+      assert(found.isDefined, url)
+      val text = GbXml.extractTextBytes(found.get.getBytes("UTF-8"))
+      assert(text.length == len.toInt, url)
+      assert(GbHash.hash64(text, 0, text.length, 0L) == h.toLong, url)
+    }
+  }
+
+  test("crawl order + seen set golden (5 iterations, micro corpus)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_goldenspec").toString
+    Crawl.run(spark, work, Corpus.micro, 5)
+    val got = (1 to 5).flatMap { i =>
+      spark.read.parquet(s"${Crawl.snapDir(work, i)}/fetch_log")
+        .select("iteration", "first_ip", "seq", "url", "priority", "err_code")
+        .as[(Int, Int, Int, String, Int, Int)].collect()
+        .sortBy(r => (r._1, r._2.toLong & 0xffffffffL, r._3))
+    }.map(r => s"${r._1}\t${r._2}\t${r._3}\t${r._4}\t${r._5}\t${r._6}")
+    assert(got == golden("crawl_order.tsv"), "crawl order drifted from golden")
+    val seen = Crawl.loadRequests(spark, work, 5).select("uh48").as[Long].collect().sorted.map(_.toString).toSeq
+    assert(seen == golden("seen_set.tsv"), "seen set drifted from golden")
+  }
+}
