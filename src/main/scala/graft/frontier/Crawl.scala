@@ -695,6 +695,34 @@ object Crawl {
     writeManifest(workdir, 0, Seq(MetricsRow(0, 0, 0, 0, 0, 0, seedUrls.size, 0, 0, 0)))
   }
 
+  /** S2: injection — push urls straight into the frontier with the
+    * IsInjecting flag (PageInject.cpp; flags Spider.h:604-605). Injected
+    * requests bypass politeness scheduling on first fetch
+    * (getSpiderTimeMS, Spider.cpp:5976-5977). Appends a delta to the
+    * latest snapshot. */
+  def inject(spark: SparkSession, workdir: String, urls: Seq[String], cfg: Config): Long = {
+    import spark.implicits._
+    val i = latestSnapshot(workdir).getOrElse(0)
+    val now = nowSecs(cfg, i)
+    val reqs = urls.flatMap(seedRequest(_, now))
+      .map(r => r.copy(flags = (r.flags | Flags.IsInjecting) & ~Flags.IsAddUrl))
+    // unlike outlink admission, injections are NOT dropped for already-seen
+    // urls (the reference's dup cache salts its key with the isInjecting
+    // flag, Spider.cpp:2147-2211); only an exact (first_ip, uh48) record —
+    // the injected fake-ip shard slot — dedups, preserving the engine's
+    // composite-key uniqueness invariant
+    val existing = loadRequests(spark, workdir, i).select("first_ip", "uh48")
+    val fresh = spark.createDataset(reqs)
+      .dropDuplicates("first_ip", "uh48")
+      .join(existing, Seq("first_ip", "uh48"), "left_anti")
+      .as[FrontierRequest]
+    val n = fresh.count()
+    val target = s"${snapDir(workdir, i)}/requests_delta"
+    val mode = if (new java.io.File(target).exists) "append" else "overwrite"
+    fresh.write.mode(mode).parquet(target)
+    n
+  }
+
   /** Run (or resume) a crawl for `iterations` steps. */
   def run(spark: SparkSession, workdir: String, spec: Corpus.Spec, iterations: Int,
           cfg: Config = Config(), compactEvery: Int = 4,

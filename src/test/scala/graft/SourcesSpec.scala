@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.frontier._
+import graft.sources.Warc
+import graft.streaming.SeedStream
+
+class SourcesSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  test("WARC round-trip: build container, read pages, byte-exact text") {
+    import spark.implicits._
+    val spec = Corpus.micro
+    val recs = (0 until 3).map { k =>
+      val url = Corpus.pageUrl(k, 0, spec)
+      (url, "2014-01-01T00:00:00Z", Corpus.pageHtml(k, 0, spec).getBytes("UTF-8"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graftwarc")
+    java.nio.file.Files.write(dir.resolve("fixture.warc"), Warc.buildWarc(recs))
+    val pages = Warc.readPages(spark, dir.toString).collect().sortBy(_.url)
+    assert(pages.length == 3)
+    pages.zip(recs.sortBy(_._1)).foreach { case (p, (url, _, html)) =>
+      assert(p.url == url)
+      assert(p.html.sameElements(html))
+      assert(p.text == graft.core.GbXml.extractText(html), url)
+    }
+  }
+
+  test("WARC parser skips non-response records and truncation") {
+    val good = Warc.buildWarc(Seq(("http://a.test/", "2014-01-01T00:00:00Z", "<p>x</p>".getBytes)))
+    val meta = ("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nblah\r\n\r\n").getBytes
+    val recs = Warc.parseWarc(meta ++ good)
+    assert(recs.length == 1 && recs.head.url == "http://a.test/")
+    // truncated tail does not throw
+    assert(Warc.parseWarc(good.dropRight(20)).length <= 1)
+  }
+
+  test("injection appends frontier delta and bypasses politeness") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graftinject").toString
+    val cfg = Crawl.Config()
+    Crawl.run(spark, work, Corpus.micro, 2, cfg)
+    val before = Crawl.loadRequests(spark, work, Crawl.latestSnapshot(work).get).count()
+    val n = Crawl.inject(spark, work, Seq("http://www.h7.test/injected.html", "http://www.h0.test/"), cfg)
+    val i = Crawl.latestSnapshot(work).get
+    val after = Crawl.loadRequests(spark, work, i)
+    // the brand-new url is admitted; the already-seen root is not
+    val injected = after.filter(r => Flags.has(r.flags, Flags.IsInjecting)).collect()
+    assert(injected.length == 1)
+    assert(injected.head.url == "http://www.h7.test/injected.html")
+    assert(after.count() == before + 1)
+    // injected request schedules immediately despite politeness state
+    val batch = Crawl.schedule(after,
+      Crawl.loadReplies(spark, work, i),
+      spark.read.parquet(s"${Crawl.snapDir(work, i)}/ip_state").as[IpState],
+      spark.read.parquet(s"${Crawl.snapDir(work, i)}/dom_state").as[DomState], cfg, i + 1)
+    assert(batch.filter(_.url == "http://www.h7.test/injected.html").count() == 1)
+  }
+
+  test("streaming seed intake: MemoryStream of raw urls → deduped requests") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = SeedStream.toRequests(mem.toDS(), 1400000000L)
+    val query = out.writeStream.format("memory").queryName("seeds_out")
+      .outputMode("append").start()
+    mem.addData("http://www.s1.test/", "WWW.S2.test/a/../b", "http://www.s1.test/", "not a url ://")
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("seeds_out").as[FrontierRequest].collect()
+    val urls = rows.map(_.url).sorted
+    assert(urls.contains("http://www.s1.test/"))
+    assert(urls.contains("http://www.s2.test/b"))
+    assert(rows.forall(r => Flags.has(r.flags, Flags.IsAddUrl)))
+    assert(urls.distinct.length == urls.length, "within-stream dedup")
+  }
+}
