@@ -53,6 +53,8 @@ object Crawl {
       userAgent: String = Robots.DefaultUserAgent,
       overflowCap: Long = 10000000L, // A8, Spider.cpp:5185-5265
       bloomFpp: Double = 0.03,
+      seenBuckets: Int = 64, // partitioned-bloom buckets (power of 2)
+      expectedSeenPerBucket: Long = 200000L,
       rules: IndexedSeq[UrlFilterRule] = UrlFilters.defaultWebRules
   )
 
@@ -476,24 +478,34 @@ object Crawl {
 
   // ----------------------------------------------------------- writeback
 
-  /** J2: admission anti-join against the URL-seen set with a bloom
-    * prefilter (north_rule "bloom/cuckoo URL-seen"). The bloom is built
-    * distributed (treeAggregate) over existing request uh48s; candidates
-    * that miss the bloom are definitely-new and skip the exact join;
-    * bloom-positives (including fps) pay the exact left_anti join so the
-    * final seen-set is byte-exact (SURVEY §7 risk 4). */
+  /** J2: admission anti-join against the URL-seen set with the
+    * PARTITIONED bloom prefilter (north_star: salted-hash partitioned
+    * blooms). Candidates that miss their bucket's bloom are
+    * definitely-new and skip the exact join; bloom-positives (including
+    * fps) pay the exact left_anti join so the final seen-set is
+    * byte-exact (SURVEY §7 risk 4). */
   def admitNew(candidates: Dataset[FrontierRequest],
                existing: Dataset[FrontierRequest],
-               expectedSeen: Long,
-               fpp: Double): Dataset[FrontierRequest] = {
+               bloomTable: DataFrame,
+               cfg: Config): Dataset[FrontierRequest] = {
     val spark = candidates.sparkSession
     import spark.implicits._
-    val bloom = existing.stat.bloomFilter("uh48", math.max(expectedSeen, 1000L), fpp)
-    val bloomB = spark.sparkContext.broadcast(bloom)
-    val maybeSeen = candidates.filter(c => bloomB.value.mightContainLong(c.uh48))
-    val definitelyNew = candidates.filter(c => !bloomB.value.mightContainLong(c.uh48))
-    val checked = maybeSeen.join(existing.select("uh48").distinct(), Seq("uh48"), "left_anti").as[FrontierRequest]
+    val tagged = SeenBloom.tagged(candidates, bloomTable, cfg.seenBuckets)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val definitelyNew = tagged.filter(!_._2).map(_._1)
+    val checked = tagged.filter(_._2).map(_._1)
+      .join(existing.select("uh48").distinct(), Seq("uh48"), "left_anti").as[FrontierRequest]
     definitelyNew.union(checked)
+  }
+
+  /** Load the snapshot's seen-bloom table, rebuilding it from the
+    * request uh48s if absent (resume from a pre-bloom snapshot). */
+  def loadBloom(spark: SparkSession, workdir: String, i: Int, cfg: Config): DataFrame = {
+    import spark.implicits._
+    val path = s"${snapDir(workdir, i)}/seen_bloom"
+    if (new java.io.File(path).exists) spark.read.parquet(path)
+    else SeenBloom.build(loadRequests(spark, workdir, i).select("uh48").as[java.lang.Long],
+      cfg.seenBuckets, cfg.expectedSeenPerBucket, cfg.bloomFpp)
   }
 
   /** Build replies from fetch results. */
@@ -616,7 +628,8 @@ object Crawl {
       .join(overflowIps.withColumnRenamed("first_ip", "of_ip"), col("first_ip") === col("of_ip"), "left_anti")
       .as[FrontierRequest]
 
-    val fresh = admitNew(candidates, requests, expectedSeen = math.max(outlinkTotal * 4, 100000L), cfg.bloomFpp)
+    val bloomTable = loadBloom(spark, workdir, i - 1, cfg)
+    val fresh = admitNew(candidates, requests, bloomTable, cfg)
       // also dedup within the batch itself (J4): keep min hop per uh48
       .groupByKey(_.uh48).reduceGroups { (a, b) =>
         if (a.hop_count != b.hop_count) { if (a.hop_count < b.hop_count) a else b }
@@ -628,6 +641,12 @@ object Crawl {
     fresh.write.mode("overwrite").parquet(s"$d/requests_delta")
     repliesOf(results, cfg, i).write.mode("overwrite").parquet(s"$d/replies_delta")
     val newUrls = spark.read.parquet(s"$d/requests_delta").count() // metadata count
+
+    // incremental seen-bloom maintenance: only touched buckets rewritten
+    SeenBloom.update(bloomTable,
+      spark.read.parquet(s"$d/requests_delta").select("uh48").as[java.lang.Long],
+      cfg.seenBuckets, cfg.expectedSeenPerBucket, cfg.bloomFpp)
+      .write.mode("overwrite").parquet(s"$d/seen_bloom")
 
     // politeness state update: last download end per IP; crawl delay per dom
     val ipUpdates = results.groupByKey(_.task.first_ip)
@@ -661,7 +680,7 @@ object Crawl {
     * rewrite the delta chain into one full table, one request per
     * (uh48, signature) keeping the OLDEST addedTime (discovery
     * semantics); latest reply per uh48. This is the RdbMerge analogue. */
-  def compact(spark: SparkSession, workdir: String, i: Int): Unit = {
+  def compact(spark: SparkSession, workdir: String, i: Int, cfg: Config = Config()): Unit = {
     import spark.implicits._
     val d = snapDir(workdir, i)
     val requests = loadRequests(spark, workdir, i)
@@ -680,6 +699,10 @@ object Crawl {
     fs.delete(new org.apache.hadoop.fs.Path(s"$d/replies_delta"), true)
     fs.rename(new org.apache.hadoop.fs.Path(s"$d/requests_full_tmp"), new org.apache.hadoop.fs.Path(s"$d/requests"))
     fs.rename(new org.apache.hadoop.fs.Path(s"$d/replies_full_tmp"), new org.apache.hadoop.fs.Path(s"$d/replies"))
+    // rebuild the partitioned bloom from the compacted table (fpp hygiene)
+    SeenBloom.build(spark.read.parquet(s"$d/requests").select("uh48").as[java.lang.Long],
+      cfg.seenBuckets, cfg.expectedSeenPerBucket, cfg.bloomFpp)
+      .write.mode("overwrite").parquet(s"$d/seen_bloom")
   }
 
   /** Bootstrap snapshot 0 from seeds (full tables). */
@@ -687,6 +710,9 @@ object Crawl {
     import spark.implicits._
     val d = snapDir(workdir, 0)
     seeds(spark, seedUrls, cfg).write.mode("overwrite").parquet(s"$d/requests")
+    SeenBloom.build(spark.read.parquet(s"$d/requests").select("uh48").as[java.lang.Long],
+      cfg.seenBuckets, cfg.expectedSeenPerBucket, cfg.bloomFpp)
+      .write.mode("overwrite").parquet(s"$d/seen_bloom")
     spark.emptyDataset[FrontierReply].write.mode("overwrite").parquet(s"$d/replies")
     spark.emptyDataset[IpState].write.mode("overwrite").parquet(s"$d/ip_state")
     spark.emptyDataset[DomState].write.mode("overwrite").parquet(s"$d/dom_state")
@@ -720,6 +746,16 @@ object Crawl {
     val target = s"${snapDir(workdir, i)}/requests_delta"
     val mode = if (new java.io.File(target).exists) "append" else "overwrite"
     fresh.write.mode(mode).parquet(target)
+    // the seen bloom must remain a SUPERSET of all request uh48s, or a
+    // future bloom-negative would skip the exact anti-join and re-admit
+    SeenBloom.update(loadBloom(spark, workdir, i, cfg),
+      spark.createDataset(reqs.map(r => java.lang.Long.valueOf(r.uh48))),
+      cfg.seenBuckets, cfg.expectedSeenPerBucket, cfg.bloomFpp)
+      .write.mode("overwrite").parquet(s"${snapDir(workdir, i)}/seen_bloom_tmp")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"${snapDir(workdir, i)}/seen_bloom"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"${snapDir(workdir, i)}/seen_bloom_tmp"),
+      new org.apache.hadoop.fs.Path(s"${snapDir(workdir, i)}/seen_bloom"))
     n
   }
 
@@ -737,7 +773,7 @@ object Crawl {
     }
     val out = (start until start + iterations).map { i =>
       val r = runIteration(spark, workdir, i, pages, robots, hostMeta, cfg)
-      if (i % compactEvery == 0) compact(spark, workdir, i)
+      if (i % compactEvery == 0) compact(spark, workdir, i, cfg)
       r
     }
     pages.unpersist()

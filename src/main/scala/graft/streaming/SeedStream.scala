@@ -35,17 +35,19 @@ object SeedStream {
   /** Run the intake stream: urls dropped as text files under `inDir` are
     * appended to `workdir`'s frontier as injection deltas. */
   def start(spark: SparkSession, inDir: String, workdir: String,
-            checkpoint: String, nowSecs: Long): StreamingQuery = {
+            checkpoint: String, nowSecs: Long,
+            cfg: Crawl.Config = Crawl.Config()): StreamingQuery = {
     import spark.implicits._
     val raw = spark.readStream.format("text").load(inDir).as[String]
     toRequests(raw, nowSecs).writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: Dataset[FrontierRequest], batchId: Long) =>
-        val target = Crawl.latestSnapshot(workdir)
-          .map(i => s"${Crawl.snapDir(workdir, i)}/requests_delta")
-          .getOrElse(s"${Crawl.snapDir(workdir, 0)}/requests")
-        batch.write.mode("append").parquet(target)
+        // route each micro-batch through the injection path so the
+        // (first_ip, uh48) uniqueness invariant AND the seen-bloom
+        // superset invariant both hold
+        val urls = batch.collect().map(_.url).toSeq
+        if (urls.nonEmpty) Crawl.inject(spark, workdir, urls, cfg)
         ()
       }
       .start()
