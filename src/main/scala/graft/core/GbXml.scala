@@ -32,6 +32,25 @@ import scala.collection.mutable.ArrayBuffer
   */
 object GbXml {
 
+  /** Unboxed growable byte buffer (ArrayBuffer[Byte] boxes every byte —
+    * this is the extraction hot path at ~500k pages/sec). */
+  final class ByteBuf(initial: Int) {
+    private var arr = new Array[Byte](math.max(initial, 16))
+    private var len = 0
+    @inline def length: Int = len
+    @inline def isEmpty: Boolean = len == 0
+    @inline def nonEmpty: Boolean = len != 0
+    @inline def apply(i: Int): Byte = arr(i)
+    @inline def +=(b: Byte): Unit = {
+      if (len == arr.length) { val n = new Array[Byte](arr.length * 2); System.arraycopy(arr, 0, n, 0, len); arr = n }
+      arr(len) = b; len += 1
+    }
+    @inline def +=(c: Char): Unit = this += c.toByte
+    @inline def dropLast(): Unit = if (len > 0) len -= 1
+    def toArray: Array[Byte] = java.util.Arrays.copyOf(arr, len)
+    def take(n: Int): Array[Byte] = java.util.Arrays.copyOf(arr, n)
+  }
+
   final case class TagInfo(name: String, hasBackTag: Boolean, isBreaking: Boolean, isVisible: Boolean)
 
   val tags: Array[TagInfo] = {
@@ -167,7 +186,7 @@ object GbXml {
     if (cp == 0) null else (len, cp)
   }
 
-  private def utf8Encode(cp: Int, out: ArrayBuffer[Byte]): Unit = {
+  private def utf8Encode(cp: Int, out: ByteBuf): Unit = {
     if (cp < 0x80) out += cp.toByte
     else if (cp < 0x800) {
       out += (0xc0 | (cp >> 6)).toByte
@@ -186,7 +205,7 @@ object GbXml {
 
   /** step 2: htmlDecode (fctypes.cpp:1215-1268). */
   def htmlDecode(src: Array[Byte], doSpecial: Boolean): Array[Byte] = {
-    val out = new ArrayBuffer[Byte](src.length)
+    val out = new ByteBuf(src.length)
     var i = 0
     while (i < src.length) {
       val b = src(i) & 0xff
@@ -223,7 +242,7 @@ object GbXml {
 
   /** step 3: the post-decode transform loop (XmlDoc.cpp:20316-20484). */
   def normalizeAfterDecode(src: Array[Byte]): Array[Byte] = {
-    val out = new ArrayBuffer[Byte](src.length)
+    val out = new ByteBuf(src.length)
     @inline def b(i: Int): Int = if (i < src.length) src(i) & 0xff else 0
     var i = 0
     while (i < src.length) {
@@ -255,7 +274,7 @@ object GbXml {
                   lowerA(b(s3 + 2)) == 's' && lowerA(b(s3 + 3)) == 'u' &&
                   lowerA(b(s3 + 4)) == 'p' && b(s3 + 5) == '>') {
                 // success: drop the '<', emit lowercase suffix, jump past </sup>
-                out.remove(out.length - 1)
+                out.dropLast()
                 out += lowerA(b(sufOff)).toByte
                 out += lowerA(b(sufOff + 1)).toByte
                 i = s3 + 6
@@ -477,7 +496,7 @@ object GbXml {
 
   /** Xml::getText (Xml.cpp:662-840), includeTags=false. Returns raw bytes. */
   def getTextBytes(buf: Array[Byte], nodes: ArrayBuffer[Node], filterSpaces: Boolean = false): Array[Byte] = {
-    val dst = new ArrayBuffer[Byte](buf.length / 4 + 16)
+    val dst = new ByteBuf(buf.length / 4 + 16)
     var notVisible = 0
     var idx = 0
     while (idx < nodes.length) {
@@ -522,7 +541,7 @@ object GbXml {
     // strip trailing ascii whitespace
     var end = dst.length
     while (end > 0 && isWspaceA(dst(end - 1) & 0xff)) end -= 1
-    dst.take(end).toArray
+    dst.take(end)
   }
 
   /** The full X7→X10 pipeline over raw page bytes. */
