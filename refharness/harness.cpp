@@ -1,0 +1,202 @@
+// Golden-extraction harness: runs the REFERENCE parser chain over HTML
+// files so the extraction goldens are derived from the reference engine
+// itself, not from the Scala code under test (VERDICT r1, "circular
+// goldens"). Links against objects compiled VERBATIM from
+// /root/reference/src: Xml.cpp, XmlNode.cpp, Entities.cpp, fctypes.cpp,
+// Unicode.cpp. The two XmlDoc-internal loops that cannot be linked in
+// isolation (XmlDoc.cpp is monolithic) are excerpted below with exact
+// line citations; they are reference code, not reimplementation.
+//
+// Pipeline == XmlDoc::getUtf8Content (XmlDoc.cpp:20092-20489), CT_HTML:
+//   1. utf8 sanitize          (XmlDoc.cpp:20187-20218)  [excerpt below]
+//   2. htmlDecode doSpecial   (XmlDoc.cpp:20304-20310 -> fctypes.cpp)
+//   3. normalize pass         (XmlDoc.cpp:20335-20474)  [excerpt below]
+//   4. Xml::set html v121     (XmlDoc.cpp:6960-6968 -> Xml.cpp)
+//   5. Xml::getText           (Xml.cpp:662-840), includeTags=false,
+//      visibleTextOnly=true, filter=false, filterSpaces=false
+//
+// Usage: harness <in.html> <out.txt>
+//        harness --batch <dir>     (every *.html -> *.txt alongside)
+
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+#include <dirent.h>
+
+#include "Xml.h"
+#include "fctypes.h"
+#include "Unicode.h"
+
+#define CT_HTML 1          // HttpMime.h:28
+#define TITLEREC_VERSION 121 // Titledb.h:21
+
+// ---- step 1: utf8 sanitize, excerpt of XmlDoc.cpp:20187-20218 ----
+static void sanitizeUtf8(char *content) {
+	uint8_t *x = (uint8_t *)content;
+	char size;
+	for ( ; *x ; x += size ) {
+		size = getUtf8CharSize(x);
+		if ( ! isSaneUtf8Char(x) ) { *x = ' '; size = 1; continue; }
+		if ( size == 1 ) continue;
+		if ( ! (x[1] & 0x80) ) { x[0] = ' '; size = 1; continue; }
+		if ( size == 2 ) continue;
+		if ( ! (x[2] & 0x80) ) { x[0] = ' '; size = 1; continue; }
+		if ( size == 3 ) continue;
+		if ( ! (x[3] & 0x80) ) { x[0] = ' '; size = 1; continue; }
+	}
+}
+
+// ---- step 3: normalize pass, excerpt of XmlDoc.cpp:20335-20474 ----
+// (contentType is CT_HTML here so the CT_JSON guard is a no-op)
+static int32_t normalizePass(char *content, int32_t n) {
+	char size;
+	uint8_t *p   = (uint8_t *)content;
+	uint8_t *dst = (uint8_t *)content;
+	for ( ; *p ; p += size ) {
+		size = getUtf8CharSize(p);
+		if ( size == 1 && p[0] != '<' ) { *dst++ = *p; continue; }
+		if ( p[0] == '<' &&
+		     to_lower_a(p[1]) == 's' &&
+		     to_lower_a(p[2]) == 'u' &&
+		     to_lower_a(p[3]) == 'p' ) {
+			*dst++ = '<';
+			char *s = (char *)p;
+			char *pn = s - 1;
+			for (;pn>=content&&is_wspace_a(*pn);pn--) ;
+			if ( ! is_digit(*pn) ) continue;
+			s += 4;
+			for (; *s && *s != '>' ; s++ ) ;
+			if ( ! *s ) continue;
+			s++;
+			for (; *s && is_wspace_a(*s) ; s++ ) ;
+			if ( ! *s ) continue;
+			bool gotIt = false;
+			char *suffix = s;
+			if ( (to_lower_a(s[0])=='s'&&to_lower_a(s[1]) == 't')||
+			     (to_lower_a(s[0])=='n'&&to_lower_a(s[1]) == 'd')||
+			     (to_lower_a(s[0])=='r'&&to_lower_a(s[1]) == 'd')||
+			     (to_lower_a(s[0])=='t'&&to_lower_a(s[1]) == 'h'))
+				gotIt = true;
+			if ( ! gotIt ) continue;
+			s += 2;
+			for (; *s && is_wspace_a(*s) ; s++ ) ;
+			if ( ! *s ) continue;
+			if ( s[0] != '<' ) continue;
+			if ( s[1] != '/' ) continue;
+			if ( to_lower_a(s[2]) != 's' ) continue;
+			if ( to_lower_a(s[3]) != 'u' ) continue;
+			if ( to_lower_a(s[4]) != 'p' ) continue;
+			if ( s[5] != '>' ) continue;
+			s += 5;
+			p = (unsigned char *)s;
+			dst--;
+			*dst++ = to_lower_a(suffix[0]);
+			*dst++ = to_lower_a(suffix[1]);
+			continue;
+		}
+		if ( p[0]==0xe2 && p[1]==0x80 &&
+		     (p[2]==0x99 || p[2]==0x98 || p[2]==0x9b ) ) {
+			*dst++ = '\''; continue;
+		}
+		if ( p[0] == 0xc2 && p[1] >= 0x80 && p[1] <= 0x9f ) {
+			*dst++ = ' '; continue;
+		}
+		if ( p[0] == 0xe2 && p[1] == 0x80 ) {
+			if (p[2] == 0x9c ) { *dst++ = '\"'; continue; }
+			if (p[2] == 0x9d ) { *dst++ = '\"'; continue; }
+		}
+		if ( p[0]==0xc2 && p[1]==0xad ) { *dst++ = '-'; continue; }
+		if ( p[0]==0xe2 && p[1]==0x80 && p[2]==0x93 ) { *dst++ = '-'; continue; }
+		if ( p[0]==0xe2 && p[1]==0x80 && p[2]==0x94 ) { *dst++ = '-'; continue; }
+		if ( ! g_map_is_ascii[(unsigned char)*p] && is_wspace_utf8(p) ) {
+			*dst++ = ' '; continue;
+		}
+		gbmemcpy(dst,p,size);
+		dst += size;
+	}
+	*dst++ = '\0';
+	return (char *)dst - content; // includes the \0 (size_utf8Content)
+}
+
+static int processOne(const char *inPath, const char *outPath) {
+	FILE *f = fopen(inPath, "rb");
+	if (!f) { fprintf(stderr, "cannot open %s\n", inPath); return 1; }
+	fseek(f, 0, SEEK_END);
+	long sz = ftell(f);
+	fseek(f, 0, SEEK_SET);
+	// generous slack: htmlDecode shrinks, but keep room for the \0s
+	char *buf = (char *)malloc(sz + 16);
+	if (fread(buf, 1, sz, f) != (size_t)sz) { fclose(f); return 1; }
+	fclose(f);
+	buf[sz] = '\0';
+	// NOTE: no NUL pre-strip. The reference's sanitize/normalize loops
+	// are *p-terminated, so an embedded NUL ends them early and the
+	// normalize pass effectively truncates the content there — that IS
+	// the reference behavior this harness must reproduce.
+
+	sanitizeUtf8(buf);                                    // step 1
+	int32_t n = htmlDecode(buf, buf, sz, true /*doSpecial*/, 0); // step 2
+	buf[n] = '\0';
+	int32_t outSize = normalizePass(buf, n);              // step 3
+	int32_t u8len = outSize - 1;
+
+	Xml xml;                                              // step 4
+	if (!xml.set(buf, u8len, false /*ownData*/, 0, false /*pureXml*/,
+	             TITLEREC_VERSION, false /*setParents*/, 0 /*niceness*/,
+	             CT_HTML)) {
+		fprintf(stderr, "xml.set failed on %s\n", inPath);
+		free(buf);
+		return 1;
+	}
+	int32_t cap = u8len + 4096;
+	char *txt = (char *)malloc(cap);
+	int32_t tlen = xml.getText(txt, cap, 0, 999999,       // step 5
+	                           false /*includeTags*/,
+	                           true  /*visibleTextOnly*/,
+	                           false /*filter*/,
+	                           false /*filterSpaces*/,
+	                           false /*useStopIndexTag*/);
+	FILE *o = fopen(outPath, "wb");
+	fwrite(txt, 1, tlen, o);
+	fclose(o);
+	free(txt);
+	free(buf);
+	return 0;
+}
+
+extern bool hashinit();              // hash.h:27 (builds g_hashtab)
+extern bool ucInit(char *, bool);    // Unicode.h:16 (loads ucdata/*.dat)
+
+int main(int argc, char **argv) {
+	// same init main.cpp does (main.cpp:1243-1245)
+	const char *refDir = getenv("GB_REF_DIR");
+	if (!refDir) refDir = "/root/reference";
+	if (!hashinit()) { fprintf(stderr, "hashinit failed\n"); return 1; }
+	if (!ucInit((char *)refDir, false)) {
+		fprintf(stderr, "ucInit failed (need %s/ucdata)\n", refDir);
+		return 1;
+	}
+	if (argc == 3 && strcmp(argv[1], "--batch") == 0) {
+		DIR *d = opendir(argv[2]);
+		if (!d) { fprintf(stderr, "no dir %s\n", argv[2]); return 1; }
+		struct dirent *e;
+		int rc = 0;
+		while ((e = readdir(d))) {
+			std::string name = e->d_name;
+			if (name.size() < 6 || name.substr(name.size() - 5) != ".html")
+				continue;
+			std::string in = std::string(argv[2]) + "/" + name;
+			std::string out = in.substr(0, in.size() - 5) + ".txt";
+			rc |= processOne(in.c_str(), out.c_str());
+		}
+		closedir(d);
+		return rc;
+	}
+	if (argc != 3) {
+		fprintf(stderr, "usage: %s <in.html> <out.txt> | --batch <dir>\n", argv[0]);
+		return 1;
+	}
+	return processOne(argv[1], argv[2]);
+}

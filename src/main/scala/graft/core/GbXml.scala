@@ -107,13 +107,15 @@ object GbXml {
   }
   @inline private def lowerA(c: Int): Int = if (c >= 'A' && c <= 'Z') c + 32 else c
 
-  /** step 1: in-place sanitize (XmlDoc.cpp:20177-20205). */
+  /** step 1: in-place sanitize (XmlDoc.cpp:20187-20218). The loop is
+    * `for (; *x; x += size)` in C — it STOPS at the first NUL; bytes
+    * after an embedded NUL are left unsanitized (and the normalize
+    * pass truncates there anyway, see normalizeAfterDecode). */
   def sanitizeUtf8(x: Array[Byte]): Unit = {
     var i = 0
-    while (i < x.length) {
+    while (i < x.length && x(i) != 0) {
       val b = x(i) & 0xff
-      if (b == 0) { x(i) = ' '; i += 1 } // Xml::set NUL→' ' (Xml.cpp:287)
-      else if (!saneLead(b)) { x(i) = ' '; i += 1 }
+      if (!saneLead(b)) { x(i) = ' '; i += 1 }
       else {
         val size = utf8Size(b)
         if (size == 1) i += 1
@@ -142,7 +144,58 @@ object GbXml {
     finally src.close()
   }
 
-  /** getEntity_a (Entities.cpp:18-50): returns (skipLen, codepoint) or null. */
+  /** getDecimalEntity (Entities.cpp:453-495) — ported byte-for-byte,
+    * INCLUDING the reference's digit-indexing bugs: the len==7 branch
+    * uses s[5] for both the tens and units place (s[6] ignored) and the
+    * len==9 branch uses s[7] twice (s[8] ignored). Out-of-range values
+    * (<32 or >0x10FFFF) decode to a SPACE, not to "invalid". */
+  private def decimalEntity(s: Array[Byte], off: Int, lenIn: Int): Int = {
+    @inline def d(k: Int): Int = (s(off + k) & 0xff) - 48
+    var len = lenIn
+    if (s(off + len - 1) == ';') len -= 1
+    if (len < 3 || len > 9) return 0
+    if (s(off) != '&' || s(off + 1) != '#') return 0
+    if (d(2) < 0 || d(2) > 9) return 0
+    val v: Long = len match {
+      case 3 => d(2)
+      case 4 => d(2) * 10 + d(3)
+      case 5 => d(2) * 100 + d(3) * 10 + d(4)
+      case 6 => d(2) * 1000 + d(3) * 100 + d(4) * 10 + d(5)
+      case 7 => d(2) * 10000L + d(3) * 1000 + d(4) * 100 + d(5) * 10 + d(5) // sic: s[5] twice
+      case 8 => d(2) * 100000L + d(3) * 10000 + d(4) * 1000 + d(5) * 100 + d(6) * 10 + d(7)
+      case 9 => d(2) * 1000000L + d(3) * 100000 + d(4) * 10000 + d(5) * 1000 + d(6) * 100 + d(7) * 10 + d(7) // sic: s[7] twice
+      case _ => return ' '
+    }
+    if (v < 32 || v > 0x10ffff) ' ' else v.toInt
+  }
+
+  /** getHexadecimalEntity (Entities.cpp:497-546): strict lowercase 'x',
+    * 1-6 hex digits; out-of-range decodes to SPACE. */
+  private def hexEntity(s: Array[Byte], off: Int, lenIn: Int): Int = {
+    var len = lenIn
+    if (s(off + len - 1) == ';') len -= 1
+    if (len < 4 || len > 9) return 0
+    if (s(off) != '&' || s(off + 1) != '#' || s(off + 2) != 'x') return 0
+    // htob (fctypes.h:266-271): non-hex chars map to 0; is_hex is only
+    // checked for s[3]
+    @inline def hex(k: Int): Int = {
+      val c = lowerA(s(off + k) & 0xff)
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else 0
+    }
+    val c3 = lowerA(s(off + 3) & 0xff)
+    if (!((c3 >= '0' && c3 <= '9') || (c3 >= 'a' && c3 <= 'f'))) return 0
+    var v = 0L
+    var i = 3
+    while (i < len) {
+      v = (v << 4) + hex(i)
+      i += 1
+    }
+    if (v < 32 || v > 0x10ffff) ' ' else v.toInt
+  }
+
+  /** getEntity_a (Entities.cpp:18-47): returns (skipLen, codepoint) or null. */
   def parseEntity(s: Array[Byte], off: Int): (Int, Int) = {
     if (s(off) != '&') return null
     val maxLen = s.length - off
@@ -151,35 +204,13 @@ object GbXml {
     while (len < maxLen && len < 9 && isAlnumA(s(off + len))) len += 1
     if (len < maxLen && s(off + len) == ';') len += 1
     if (len > 10 || len < 3) return null
-    var bodyLen = len
-    if (s(off + bodyLen - 1) == ';') bodyLen -= 1
     var cp = 0
     if (s(off + 1) == '#') {
-      if (bodyLen >= 3 && (s(off + 2) == 'x' || s(off + 2) == 'X')) {
-        // hex (Entities.cpp:507+): lowercase 'x' only in C; keep strict
-        if (s(off + 2) != 'x') return null
-        if (bodyLen < 4 || bodyLen > 9) return null
-        var i = 3
-        while (i < bodyLen) {
-          val c = lowerA(s(off + i) & 0xff)
-          val d = if (c >= '0' && c <= '9') c - '0'
-                  else if (c >= 'a' && c <= 'f') c - 'a' + 10
-                  else return null
-          cp = (cp << 4) + d
-          i += 1
-        }
-      } else {
-        if (bodyLen < 3 || bodyLen > 9) return null
-        if (!(s(off + 2) >= '0' && s(off + 2) <= '9')) return null
-        var i = 2
-        while (i < bodyLen) {
-          val c = s(off + i) & 0xff
-          if (c < '0' || c > '9') return null
-          cp = cp * 10 + (c - '0')
-          i += 1
-        }
-      }
+      cp = if (len >= 3 && s(off + 2) == 'x') hexEntity(s, off, len)
+           else decimalEntity(s, off, len)
     } else {
+      var bodyLen = len
+      if (s(off + bodyLen - 1) == ';') bodyLen -= 1
       val name = new String(s, off + 1, bodyLen - 1, StandardCharsets.ISO_8859_1)
       cp = entityTable.getOrElse(name, 0)
     }
@@ -229,9 +260,14 @@ object GbXml {
     out.toArray
   }
 
-  /** unicode whitespace for the normalize pass (is_wspace_utf8). */
+  /** Unicode whitespace for the normalize pass — the EXACT codepoint set
+    * of the reference's is_wspace_utf8 (fctypes.h:470 → is_wspace_uc over
+    * ucdata/properties.dat), extracted by probing the compiled reference
+    * (refharness). Note: U+FEFF (BOM) and U+200B are NOT whitespace. */
   private def isUnicodeSpaceCp(cp: Int): Boolean =
-    Character.isWhitespace(cp) || cp == 0xa0 || cp == 0x2007 || cp == 0x202f || cp == 0xfeff
+    cp == 0x85 || cp == 0xa0 || cp == 0x1680 || cp == 0x180e ||
+      (cp >= 0x2000 && cp <= 0x200a) || cp == 0x2028 || cp == 0x2029 ||
+      cp == 0x202f || cp == 0x205f || cp == 0x3000
 
   private def decodeCp(s: Array[Byte], off: Int, size: Int): Int = size match {
     case 1 => s(off) & 0xff
@@ -240,12 +276,14 @@ object GbXml {
     case _ => ((s(off) & 0x07) << 18) | ((s(off + 1) & 0x3f) << 12) | ((s(off + 2) & 0x3f) << 6) | (s(off + 3) & 0x3f)
   }
 
-  /** step 3: the post-decode transform loop (XmlDoc.cpp:20316-20484). */
+  /** step 3: the post-decode transform loop (XmlDoc.cpp:20335-20474).
+    * The C loop is `for (; *p; p += size)` — an embedded NUL ends it,
+    * TRUNCATING the content there (size_utf8Content = dst - content). */
   def normalizeAfterDecode(src: Array[Byte]): Array[Byte] = {
     val out = new ByteBuf(src.length)
     @inline def b(i: Int): Int = if (i < src.length) src(i) & 0xff else 0
     var i = 0
-    while (i < src.length) {
+    while (i < src.length && src(i) != 0) {
       val c0 = b(i)
       val size = utf8Size(c0)
       if (size == 1 && c0 != '<') { out += src(i); i += 1 }
@@ -483,8 +521,10 @@ object GbXml {
           }
         }
         if (p - pstart > 0) {
+          // scripttext nodes are non-breaking and invisible
+          // (Xml.cpp:627-636: m_isBreaking=false, m_isVisible=false)
           nodes += Node(pstart, p - pstart, TagScriptText, isFrontTag = true,
-            hasBackTag = false, isBreaking = true, isVisible = false)
+            hasBackTag = false, isBreaking = false, isVisible = false)
         }
         i = p
       }

@@ -32,7 +32,9 @@ class GbXmlSpec extends AnyFunSuite {
   }
 
   test("script and style content excluded") {
-    assert(text("<p>a</p><script>var x = '<p>no</p>';</script><p>b</p>") == "a\n\n\n\n\n\n\n\n\n\nb")
+    // reference-verified via refharness: scripttext nodes are
+    // non-breaking (Xml.cpp:636), so 4 breaking tags = 8 newlines
+    assert(text("<p>a</p><script>var x = '<p>no</p>';</script><p>b</p>") == "a\n\n\n\n\n\n\n\nb")
     assert(text("<style>p { color: red; }</style><p>ok</p>") == "ok")
   }
 

@@ -63,20 +63,34 @@ class GoldenSpec extends AnyFunSuite {
     }
   }
 
-  test("extracted-text golden (byte length + hash per page)") {
-    val spec = Corpus.micro
-    golden("text.tsv").foreach { line =>
-      val Array(url, len, h) = line.split('\t')
-      // find page by regenerating (deterministic corpus)
-      val found = (for {
-        k <- (0 until spec.nHosts).iterator
-        p <- (0 until spec.pagesPerHost).iterator
-        if Corpus.pageUrl(k, p, spec) == url
-      } yield Corpus.pageHtml(k, p, spec)).toSeq.headOption
-      assert(found.isDefined, url)
-      val text = GbXml.extractTextBytes(found.get.getBytes("UTF-8"))
-      assert(text.length == len.toInt, url)
-      assert(GbHash.hash64(text, 0, text.length, 0L) == h.toLong, url)
+  test("extracted-text golden — REFERENCE-derived (ref_text.tsv, full bytes)") {
+    // expected values computed by the reference parser itself via
+    // refharness (see GenRefCorpus) — non-circular by construction
+    def unescape(s: String): String = {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case 't' => sb.append('\t'); i += 2
+            case 'n' => sb.append('\n'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case '\\' => sb.append('\\'); i += 2
+            case other => sb.append(c); i += 1
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+    golden("ref_text.tsv").foreach { line =>
+      val f = line.split('\t').padTo(5, "")
+      val spec = if (f(0) == "micro") Corpus.micro else Corpus.bench
+      val (k, p, url) = (f(1).toInt, f(2).toInt, f(3))
+      assert(Corpus.pageUrl(k, p, spec) == url, line.take(80))
+      val expected = unescape(f(4))
+      val actual = GbXml.extractText(Corpus.pageHtml(k, p, spec).getBytes("UTF-8"))
+      assert(actual == expected, s"extraction diverges from reference for $url")
     }
   }
 
