@@ -171,12 +171,16 @@ object GbLinks {
                     }
                     l = sb.toString
                   }
-                  // entity-decode the href (doSpecial=false)
+                  // entity-decode the href (doSpecial=false); the string
+                  // stays a Latin-1 BYTE CARRIER end to end (latin1=true
+                  // below) so GbUrl consumes the exact decoded bytes —
+                  // UTF-8 re-encoding would double-encode non-ASCII hrefs
                   val decoded = new String(
                     GbXml.htmlDecode(l.getBytes(StandardCharsets.ISO_8859_1), doSpecial = false),
                     StandardCharsets.ISO_8859_1)
                   val u = GbUrl.parseRel(baseUrl, decoded, addWWW = false,
-                    stripSessionId = true, stripPound = true, stripCommonFile = true)
+                    stripSessionId = true, stripPound = true, stripCommonFile = true,
+                    latin1 = true)
                   if (u.isValid && u.domLen > 0 && (u.ip != 0 || u.tldLen > 0)) {
                     out += OutLink(u, id, isRSS, nofollow, fromAhref = id == TagA, fromFeedburner = id == TagFbOrigLink)
                   }

@@ -147,12 +147,26 @@ object GbUrl {
             stripPound: Boolean = false, stripCommonFile: Boolean = false): GbUrl =
     setFrom(raw.getBytes(StandardCharsets.UTF_8), addWWW, stripSessionId, stripPound, stripCommonFile)
 
+  /** Byte-preserving entry point: `raw` is a Latin-1 CARRIER string
+    * (char i == original byte i, as produced by `new String(bytes,
+    * ISO_8859_1)`). The reference's Url::set consumes raw bytes
+    * (Url.cpp:158+); round-tripping a latin1-decoded href through
+    * getBytes(UTF_8) double-encodes non-ASCII (C3 A9 → C3 83 C2 A9),
+    * diverging the canonical url, punycode host, and uh48. */
+  def parseLatin1(raw: String, addWWW: Boolean = false, stripSessionId: Boolean = false,
+                  stripPound: Boolean = false, stripCommonFile: Boolean = false): GbUrl =
+    setFrom(raw.getBytes(StandardCharsets.ISO_8859_1), addWWW, stripSessionId, stripPound, stripCommonFile)
+
   /** Relative resolution against a base (Url.cpp:47-135). Note: absolute
-    * hrefs get stripCommonFile=false regardless (Url.cpp:110-114). */
+    * hrefs get stripCommonFile=false regardless (Url.cpp:110-114).
+    * `latin1`: treat `href` as a Latin-1 byte carrier (see parseLatin1);
+    * safe to mix with `base.url`, which is canonical ASCII. */
   def parseRel(base: GbUrl, href: String, addWWW: Boolean = false,
                stripSessionId: Boolean = false, stripPound: Boolean = false,
-               stripCommonFile: Boolean = false): GbUrl = {
-    if (!base.isValid) return parse(href, addWWW, stripSessionId, stripPound, stripCommonFile)
+               stripCommonFile: Boolean = false, latin1: Boolean = false): GbUrl = {
+    def parseEnc(s: String, aw: Boolean, ssi: Boolean, sp: Boolean, scf: Boolean): GbUrl =
+      if (latin1) parseLatin1(s, aw, ssi, sp, scf) else parse(s, aw, ssi, sp, scf)
+    if (!base.isValid) return parseEnc(href, addWWW, stripSessionId, stripPound, stripCommonFile)
     var blen = base.url.length
     if (base.hasQuery) blen -= (base.queryLen + 1)
     // strip filename from base unless it ends in '/'
@@ -174,14 +188,14 @@ object GbUrl {
     if (!isAbsolute && s.length > 1 && ((s.charAt(0) == '/' && s.charAt(1) == '/') || (s.charAt(0) == '\\' && s.charAt(1) == '\\')))
       isAbsolute = true
     if (blen == 0 || isAbsolute)
-      return parse(s, addWWW, stripSessionId, stripPound, stripCommonFile = false)
+      return parseEnc(s, addWWW, stripSessionId, stripPound, scf = false)
     // s starting with '/' → keep only scheme://host[:port]
     if (s.nonEmpty && s.charAt(0) == '/') blen = base.pathOff
     val sb = new StringBuilder(base.url.substring(0, blen))
     if (s.nonEmpty && s.charAt(0) != '/' && s.charAt(0) != '?' && sb.nonEmpty && sb.charAt(sb.length - 1) != '/')
       sb.append('/')
     sb.append(s)
-    parse(sb.toString, addWWW, stripSessionId, stripPound, stripCommonFile)
+    parseEnc(sb.toString, addWWW, stripSessionId, stripPound, stripCommonFile)
   }
 
   // ---------------------------------------------------------------- set()

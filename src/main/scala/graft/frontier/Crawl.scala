@@ -549,8 +549,11 @@ object Crawl {
     while (k >= 0 && !done) {
       val full = s"${snapDir(workdir, k)}/$name"
       val delta = s"${snapDir(workdir, k)}/${name}_delta"
+      // a snapshot can hold BOTH a full table and a delta: inject()
+      // appends its delta into the latest snapshot, which has a full
+      // table right after init or compaction — read both, then stop
+      if (new java.io.File(delta).exists) parts ::= delta
       if (new java.io.File(full).exists) { parts ::= full; done = true }
-      else if (new java.io.File(delta).exists) { parts ::= delta; k -= 1 }
       else k -= 1
     }
     parts.map(spark.read.parquet(_)).reduce(_ unionByName _)
@@ -657,8 +660,15 @@ object Crawl {
     val domUpdates = results
       .filter(_.crawlDelayMs >= 0)
       .map(r => DomState(GbUrl.parse(r.task.url).domHash32, r.crawlDelayMs))
-    val mergedDom = domState.union(domUpdates)
-      .groupByKey(_.dom_hash32).reduceGroups((a, b) => b).map(_._2)
+    // deterministic merge: this iteration's observation wins over prior
+    // state, ties broken by max delay (reduceGroups((a,b) => b) picked an
+    // arbitrary element across partitions/retries)
+    val mergedDom = domState.toDF().withColumn("stamp", lit(0))
+      .unionByName(domUpdates.toDF().withColumn("stamp", lit(1)))
+      .groupBy("dom_hash32")
+      .agg(max(struct(col("stamp"), col("crawl_delay_ms"))).as("s"))
+      .select(col("dom_hash32"), col("s.crawl_delay_ms").as("crawl_delay_ms"))
+      .as[DomState]
     mergedIp.write.mode("overwrite").parquet(s"$d/ip_state")
     mergedDom.write.mode("overwrite").parquet(s"$d/dom_state")
 

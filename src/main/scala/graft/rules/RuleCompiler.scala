@@ -72,8 +72,13 @@ object RuleCompiler {
     if (tok.startsWith("isparentpingserver")) return fin(bit(c.flags, Flags.ParentIsPingServer))
     if (tok.startsWith("ispingserver")) return fin(bit(c.flags, Flags.IsPingServer))
     if (tok.startsWith("isfakeip")) return fin(bit(c.flags, Flags.FakeFirstIp))
-    if (tok.startsWith("hastmperror"))
-      return fin(c.repExists && c.repErrCode.isInCollection(UrlFilters.tmpErrors))
+    if (tok.startsWith("hastmperror")) {
+      // the rep_exists guard stays OUTSIDE the negation: with no reply
+      // the interpreter returns RowSkip (row fails) regardless of '!'
+      // (UrlFilters.evalToken hastmperror → RowSkip on None)
+      val pred = c.repErrCode.isInCollection(UrlFilters.tmpErrors)
+      return Some(c.repExists && (if (neg) !pred else pred))
+    }
     if (tok.startsWith("hasreply")) return fin(hadReply)
     if (tok == "default") return Some(lit(true))
 

@@ -91,7 +91,12 @@ object Warc {
           .map { r =>
             val ts = scala.util.Try(java.sql.Timestamp.from(java.time.Instant.parse(r.date)))
               .getOrElse(new java.sql.Timestamp(0L))
-            PageRow(r.url, ts, r.body, GbXml.extractText(r.body), "")
+            // the Target-URI string is a Latin-1 byte carrier (header
+            // decode above) — canonicalize through the byte-exact entry
+            // so non-ASCII URIs aren't UTF-8 double-encoded downstream
+            val gu = graft.core.GbUrl.parseLatin1(r.url)
+            val url = if (gu.isValid) gu.url else r.url
+            PageRow(url, ts, r.body, GbXml.extractText(r.body), "")
           }
       }
   }

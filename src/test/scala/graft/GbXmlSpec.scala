@@ -107,4 +107,22 @@ class GbXmlSpec extends AnyFunSuite {
     assert(text("") == "")
     assert(text("just plain text") == "just plain text")
   }
+
+  test("UTF-8 href harvests byte-exactly (no double-encoding)") {
+    import graft.core.{GbLinks, GbUrl, GbXml}
+    // é in host (IDN → punycode) and in path (%-encoded UTF-8 bytes)
+    val html = "<body><a href=\"http://café.test/résumé.html\">l</a></body>"
+      .getBytes("UTF-8")
+    val work = html.clone(); GbXml.sanitizeUtf8(work)
+    val norm = GbXml.normalizeAfterDecode(GbXml.htmlDecode(work, doSpecial = true))
+    val base = GbUrl.parse("http://www.x.test/")
+    val links = GbLinks.harvest(norm, GbXml.parse(norm), base)
+    assert(links.length == 1)
+    // must equal parsing the same UTF-8 string directly — before the
+    // latin1-carrier fix the href bytes were UTF-8 double-encoded
+    val direct = GbUrl.parse("http://café.test/résumé.html")
+    assert(links.head.url.url == direct.url)
+    assert(links.head.url.uh48 == direct.uh48)
+    assert(links.head.url.host.startsWith("xn--"), s"punycoded host, got ${links.head.url.host}")
+  }
 }

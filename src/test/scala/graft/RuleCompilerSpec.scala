@@ -76,6 +76,33 @@ class RuleCompilerSpec extends AnyFunSuite {
     }
   }
 
+  test("negated reply-gated tokens match the interpreter (rep_exists outside '!')") {
+    import spark.implicits._
+    // !hastmperror with NO reply: interpreter RowSkips (row fails); the
+    // old compiled form !(rep_exists && in(tmpErrors)) wrongly matched
+    val rules = Vector(
+      UrlFilterRule("!hastmperror && hopcount>=1", harvestLinks = true, 1, 9, 7, 1000, 60),
+      UrlFilterRule("hastmperror", harvestLinks = true, 1, 9, 7, 1000, 55),
+      UrlFilterRule("default", harvestLinks = true, 10, 9, 7, 1000, 1))
+    val cfg = Crawl.Config(rules = rules)
+    for (seed <- Seq(3L, 11L)) {
+      val (reqs, reps) = randomFrontier(400, seed)
+      val reqDs = spark.createDataset(reqs)
+      val repDs = spark.createDataset(reps)
+      val ips = spark.emptyDataset[IpState]
+      val doms = spark.emptyDataset[DomState]
+      val a = Crawl.schedule(reqDs, repDs, ips, doms, cfg, 1).collect()
+        .map(t => (t.uh48, t.first_ip, t.priority, t.ufn)).sortBy(x => (x._1, x._2))
+      val b = Crawl.scheduleInterpreted(reqDs, repDs, ips, doms, cfg, 1).collect()
+        .map(t => (t.uh48, t.first_ip, t.priority, t.ufn)).sortBy(x => (x._1, x._2))
+      assert(a.toSeq == b.toSeq, s"seed=$seed")
+      assert(a.nonEmpty)
+      // both paths must schedule some no-reply rows on the default rule
+      // (priority 1), proving !hastmperror did NOT match them
+      assert(a.exists(_._3 == 1), "expected no-reply rows on the default rule")
+    }
+  }
+
   test("compiler supports the full default web table") {
     import org.apache.spark.sql.functions._
     val c = RuleCompiler.Cols(col("url"), col("hop_count"), col("flags"),

@@ -59,6 +59,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(batch.filter(_.url == "http://www.h7.test/injected.html").count() == 1)
   }
 
+  test("injection right after compaction is not lost (full table + delta in one snapshot)") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graftinject2").toString
+    val cfg = Crawl.Config()
+    // 4 iterations with compactEvery=4 → snap_4 holds FULL tables
+    Crawl.run(spark, work, Corpus.micro, 4, cfg, compactEvery = 4)
+    val i = Crawl.latestSnapshot(work).get
+    assert(new java.io.File(s"${Crawl.snapDir(work, i)}/requests").exists,
+      "precondition: latest snapshot is compacted (full requests table)")
+    val n = Crawl.inject(spark, work, Seq("http://www.h6.test/after-compaction.html"), cfg)
+    assert(n == 1)
+    // the injected url must be loadable (delta unioned with the full table)
+    val reqs = Crawl.loadRequests(spark, work, i)
+    assert(reqs.filter(_.url == "http://www.h6.test/after-compaction.html").count() == 1,
+      "injected url dropped: loadTable ignored the same-snapshot delta")
+    // and schedulable
+    val batch = Crawl.schedule(reqs,
+      Crawl.loadReplies(spark, work, i),
+      spark.read.parquet(s"${Crawl.snapDir(work, i)}/ip_state").as[IpState],
+      spark.read.parquet(s"${Crawl.snapDir(work, i)}/dom_state").as[DomState], cfg, i + 1)
+    assert(batch.filter(_.url == "http://www.h6.test/after-compaction.html").count() == 1)
+  }
+
   test("streaming seed intake: MemoryStream of raw urls → deduped requests") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
