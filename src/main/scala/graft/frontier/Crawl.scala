@@ -55,7 +55,20 @@ object Crawl {
       bloomFpp: Double = 0.03,
       seenBuckets: Int = 64, // partitioned-bloom buckets (power of 2)
       expectedSeenPerBucket: Long = 200000L,
-      rules: IndexedSeq[UrlFilterRule] = UrlFilters.defaultWebRules
+      rules: IndexedSeq[UrlFilterRule] = UrlFilters.defaultWebRules,
+      // F7: drop corrupt rows at scan time (Spider.cpp:4113-4183 replies,
+      // 4466-4507 requests) so one bad delta row can't poison scheduling
+      corruptionFilters: Boolean = true,
+      // A4: per-priority maxSpidersPerRule + global MAX_SPIDERS=300
+      // (Spider.cpp:7607-7626, Spider.h:1637). These bound CONCURRENT
+      // outstanding downloads on the reference's single node; in this
+      // engine an iteration is a politeness TIME SLICE whose per-IP
+      // fetches are sequential (hammer spacing), so the caps are opt-in:
+      // applying "300 concurrent" as "300 per batch" would serialize a
+      // 10^10-frontier crawl on cluster parallelism the reference never
+      // had. Enable for single-node-faithful dole behavior.
+      enforceDoleCaps: Boolean = false,
+      maxSpidersGlobal: Int = 300 // MAX_SPIDERS, Spider.h:1637
   )
 
   def nowSecs(cfg: Config, iteration: Int): Long = cfg.baseTimeSecs + iteration * (cfg.clockStepMs / 1000L).max(1L)
@@ -171,6 +184,46 @@ object Crawl {
                           spiderTimeMs: Long, forceDelete: Boolean,
                           ipMaxSpiders: Int, ipWaitMs: Int)
 
+  /** F7 request-side corruption predicate (Spider.cpp:4466-4507): url
+    * must start "http" (or a digit — pagereindex docid) and addedTime
+    * must not be >1 day in the future. */
+  private def requestsFiltered(df: DataFrame, now: Long, cfg: Config): DataFrame =
+    if (!cfg.corruptionFilters) df
+    else df.filter(
+      (col("url").startsWith("http") ||
+        (substring(col("url"), 1, 1) >= "0" && substring(col("url"), 1, 1) <= "9")) &&
+      (col("added_time") - lit(now)) <= 86400L)
+
+  /** F7 reply-side corruption predicate (Spider.cpp:4113-4155): future
+    * spideredTime (> now+1) or httpStatus ≥ 1000 → skip the record, so
+    * an older good reply (or none) is used instead. (The reference's
+    * langId-byte check has no analogue here: lang is a string column and
+    * cannot hold an out-of-enum byte.) */
+  private def repliesFiltered(df: DataFrame, now: Long, cfg: Config): DataFrame =
+    if (!cfg.corruptionFilters) df
+    else df.filter(col("spidered_time") <= lit(now + 1) && col("http_status") < 1000)
+
+  /** A4 dole caps (opt-in, see Config.enforceDoleCaps): per-priority cap
+    * = max maxSpidersPerRule over rules with that priority
+    * (Spider.cpp:7607-7626), then the global MAX_SPIDERS bound. Dropped
+    * rows leave gaps in seq_in_ip, which only widens hammer spacing. */
+  private def applyDoleCaps(batch: Dataset[FetchTask], cfg: Config): Dataset[FetchTask] = {
+    import batch.sparkSession.implicits._
+    val priCap = cfg.rules.groupBy(_.priority).map { case (p, rs) => p -> rs.map(_.maxSpidersPerRule).max }
+    val capExpr = coalesce(
+      element_at(map(priCap.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*), col("priority")),
+      lit(0))
+    val wp = Window.partitionBy(col("priority"))
+      .orderBy(col("spider_time_ms").asc, col("uh48").asc, col("first_ip").asc)
+    batch.toDF()
+      .withColumn("prank", row_number().over(wp))
+      .filter(col("prank") <= capExpr)
+      .drop("prank")
+      .orderBy(col("priority").desc, col("spider_time_ms").asc, col("uh48").asc)
+      .limit(cfg.maxSpidersGlobal) // TakeOrderedAndProject, no full sort
+      .as[FetchTask]
+  }
+
   /** Schedule: produce this iteration's fetch batch (doledb analogue).
     * Fully native Catalyst pipeline — rule table compiled to
     * when/otherwise columns (whole-stage codegen, no per-row objects);
@@ -181,22 +234,25 @@ object Crawl {
                ipState: Dataset[IpState],
                domState: Dataset[DomState],
                cfg: Config,
-               iteration: Int): Dataset[FetchTask] = {
+               iteration: Int,
+               inlinks: Dataset[InlinkState] = null): Dataset[FetchTask] = {
     val spark = requests.sparkSession
     import spark.implicits._
     val now = nowSecs(cfg, iteration)
     val nowMillis = nowMs(cfg, iteration)
+    val inl = Option(inlinks).getOrElse(spark.emptyDataset[InlinkState])
 
     val c = RuleCompiler.Cols(
       url = col("url"), hopCount = col("hop_count"), flags = col("flags"),
       addedTime = col("added_time"), discoveryTime = col("discovery_time"),
-      siteNumInlinks = col("site_num_inlinks"), pageNumInlinks = lit(0),
+      siteNumInlinks = col("site_num_inlinks"),
+      pageNumInlinks = col("page_num_inlinks"),
       repExists = col("rep_exists"), repSpideredTime = col("rep_spidered_time"),
       repErrCode = col("rep_err_code"), repErrCount = col("rep_err_count"),
       repHttpStatus = col("rep_http_status"), now = lit(now))
 
     RuleCompiler.compile(cfg.rules, c) match {
-      case None => scheduleInterpreted(requests, replies, ipState, domState, cfg, iteration)
+      case None => scheduleInterpreted(requests, replies, ipState, domState, cfg, iteration, inl)
       case Some(compiled) =>
         // merge duplicate requests per uh48 with native aggregates
         // (Spider.cpp:4799-4836: min hop, min discovery, freshest rest)
@@ -210,11 +266,20 @@ object Crawl {
         // a no-op here and the hot path skips it — one exchange total:
         // repartition by first_ip satisfies the reply join and the winner
         // window. scheduleInterpreted keeps the merge for generality.
-        val merged = requests.toDF().repartition(col("first_ip"))
+        // inlink_state is keyed (first_ip, uh48) — co-partitioned with
+        // the frontier, so only the small inlink side shuffles here.
+        val inlCounts = inl.toDF()
+          .select(col("first_ip"), col("uh48"),
+            least(size(col("cblocks")), lit(20)).as("pni"))
+        val merged = requestsFiltered(requests.toDF(), now, cfg) // F7
+          .repartition(col("first_ip"))
+          .join(inlCounts, Seq("first_ip", "uh48"), "left_outer")
+          .withColumn("page_num_inlinks", coalesce(col("pni"), lit(0)))
 
         // latest reply per uh48: lexicographic struct max on
         // (spidered_time, download_end_time) — no object shuffle
-        val latestRep = replies.toDF().groupBy("first_ip", "uh48").agg(
+        val latestRep = repliesFiltered(replies.toDF(), now, cfg) // F7
+          .groupBy("first_ip", "uh48").agg(
           max(struct(col("spidered_time"), col("download_end_time"),
             col("err_code"), col("err_count"), col("http_status"))).as("r"))
           .select(col("first_ip").as("rep_ip"), col("uh48").as("rep_uh48"),
@@ -251,13 +316,14 @@ object Crawl {
 
         val w = Window.partitionBy(col("first_ip"))
           .orderBy(col("priority").desc, col("hop_count").asc, col("spider_time_ms").asc, col("uh48").asc)
-        scored
+        val batch = scored
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= least(col("ip_max"), lit(cfg.maxWinnersPerIp)))
           .withColumn("seq_in_ip", (col("rank") - 1).cast("int"))
           .select(col("uh48"), col("first_ip"), col("url"), col("priority"), col("ufn"),
             col("spider_time_ms"), col("hop_count"), col("seq_in_ip"))
           .as[FetchTask]
+        if (cfg.enforceDoleCaps) applyDoleCaps(batch, cfg) else batch
     }
   }
 
@@ -268,15 +334,17 @@ object Crawl {
                ipState: Dataset[IpState],
                domState: Dataset[DomState],
                cfg: Config,
-               iteration: Int): Dataset[FetchTask] = {
+               iteration: Int,
+               inlinks: Dataset[InlinkState] = null): Dataset[FetchTask] = {
     val spark = requests.sparkSession
     import spark.implicits._
     val now = nowSecs(cfg, iteration)
     val nowMillis = nowMs(cfg, iteration)
     val rules = cfg.rules
+    val inl = Option(inlinks).getOrElse(spark.emptyDataset[InlinkState])
 
-    val reqs = mergedRequests(requests)
-    val reps = latestReplies(replies)
+    val reqs = mergedRequests(requestsFiltered(requests.toDF(), now, cfg).as[FrontierRequest])
+    val reps = latestReplies(repliesFiltered(replies.toDF(), now, cfg).as[FrontierReply])
 
     // J1: request ⟕ latest reply, sort-merge on (first_ip, uh48)
     val joined = reqs.joinWith(reps,
@@ -287,23 +355,28 @@ object Crawl {
       .toDF("req", "rep")
       .join(ipState.toDF().withColumnRenamed("first_ip", "ip_key"),
         col("req.first_ip") === col("ip_key"), "left_outer")
+      .join(inl.toDF()
+          .select(col("first_ip").as("il_ip"), col("uh48").as("il_uh48"),
+            least(size(col("cblocks")), lit(20)).as("pni")),
+        col("req.first_ip") === col("il_ip") && col("req.uh48") === col("il_uh48"), "left_outer")
       .join(domState.toDF().withColumnRenamed("dom_hash32", "dom_key"),
         col("req.dom_hash32") === col("dom_key"), "left_outer")
       .select(
         col("req").as[FrontierRequest],
         col("rep").as[FrontierReply],
         coalesce(col("last_download_end_ms"), lit(-1L)).as[Long],
-        coalesce(col("crawl_delay_ms"), lit(-1)).as[Int]
+        coalesce(col("crawl_delay_ms"), lit(-1)).as[Int],
+        coalesce(col("pni"), lit(0)).as[Int]
       )
 
-    val scored = withIp.map { case (req, repOrNull, lastMs, domCd) =>
+    val scored = withIp.map { case (req, repOrNull, lastMs, domCd, pni) =>
       val rep = Option(repOrNull)
       // hadReply must reflect reality even before compaction set the bit
       val reqFixed =
         if (rep.isDefined && !Flags.has(req.flags, Flags.HadReply))
           req.copy(flags = req.flags | Flags.HadReply)
         else req
-      val ur = toUfn(reqFixed)
+      val ur = toUfn(reqFixed).copy(pageNumInlinks = pni)
       val urep = rep.map(toUfnReply)
       val ufn = UrlFilters.urlFilterNum(ur, urep, now, rules)
       if (ufn < 0) Scored(reqFixed, -1, -1, Long.MaxValue, forceDelete = true, 0, 0)
@@ -324,13 +397,14 @@ object Crawl {
 
     val w = Window.partitionBy(col("first_ip"))
       .orderBy(col("priority").desc, col("hop_count").asc, col("spider_time_ms").asc, col("uh48").asc)
-    eligible
+    val batch = eligible
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= least(col("ip_max"), lit(cfg.maxWinnersPerIp)))
       .withColumn("seq_in_ip", col("rank") - 1)
       .select(col("uh48"), col("first_ip"), col("url"), col("priority"), col("ufn"),
         col("spider_time_ms"), col("hop_count"), col("seq_in_ip").cast("int"))
       .as[FetchTask]
+    if (cfg.enforceDoleCaps) applyDoleCaps(batch, cfg) else batch
   }
 
   // -------------------------------------------------------------- fetch
@@ -569,6 +643,15 @@ object Crawl {
     loadTable(spark, workdir, i, "replies").as[FrontierReply]
   }
 
+  /** Inlink c-block state as of snapshot i (empty for pre-inlink
+    * snapshots so resume keeps working). */
+  def loadInlinkState(spark: SparkSession, workdir: String, i: Int): Dataset[InlinkState] = {
+    import spark.implicits._
+    val path = s"${snapDir(workdir, i)}/inlink_state"
+    if (new java.io.File(path).exists) spark.read.parquet(path).as[InlinkState]
+    else spark.emptyDataset[InlinkState]
+  }
+
   def writeManifest(workdir: String, i: Int, metrics: Seq[MetricsRow]): Unit = {
     val d = snapDir(workdir, i)
     val m = metrics.map(x => s"""{"partition":${x.partition},"scheduled":${x.scheduled},"fetched":${x.fetched},"new_urls":${x.new_urls},"dups_dropped":${x.dups_dropped},"wall_ms":${x.wall_ms}}""").mkString("[", ",", "]")
@@ -601,6 +684,7 @@ object Crawl {
     val replies = loadReplies(spark, workdir, i - 1)
     val ipState = spark.read.parquet(s"$prev/ip_state").as[IpState]
     val domState = spark.read.parquet(s"$prev/dom_state").as[DomState]
+    val inlinks = loadInlinkState(spark, workdir, i - 1)
 
     val t0 = System.currentTimeMillis()
     val d = snapDir(workdir, i)
@@ -609,7 +693,7 @@ object Crawl {
     val overflowIps = requests.groupBy("first_ip").count()
       .filter(col("count") > cfg.overflowCap).select("first_ip")
 
-    val batch = schedule(requests, replies, ipState, domState, cfg, i)
+    val batch = schedule(requests, replies, ipState, domState, cfg, i, inlinks)
     val results = fetch(batch, pages, robots, hostMeta, cfg, i)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -672,6 +756,24 @@ object Crawl {
     mergedIp.write.mode("overwrite").parquet(s"$d/ip_state")
     mergedDom.write.mode("overwrite").parquet(s"$d/dom_state")
 
+    // A7: inlink c-block accumulation — every outlink DISCOVERY counts
+    // (pre-admission, like the reference's spiderdb request rows), except
+    // those dropped by the A8 overflow guard. O(urls-with-inlinks), not
+    // O(frontier): merged per (first_ip, uh48) with a 20-cap.
+    val newPairs = results.flatMap { r =>
+      val cb = r.task.first_ip & 0x00ffffff // ipdom(), Spider.cpp:4286
+      r.outlinks.map(o => (o.first_ip, o.uh48, cb))
+    }.toDF("first_ip", "uh48", "cblock")
+      .join(overflowIps.withColumnRenamed("first_ip", "of_ip"),
+        col("first_ip") === col("of_ip"), "left_anti")
+    val mergedInl = inlinks.toDF()
+      .select(col("first_ip"), col("uh48"), explode(col("cblocks")).as("cblock"))
+      .unionByName(newPairs)
+      .groupBy("first_ip", "uh48")
+      .agg(slice(sort_array(collect_set(col("cblock"))), 1, 20).as("cblocks"))
+      .as[InlinkState]
+    mergedInl.write.mode("overwrite").parquet(s"$d/inlink_state")
+
     // crawl-order log: (iteration, first_ip, seq, url) — the golden order
     results.map(r => (i, r.task.first_ip, r.task.seq_in_ip, r.task.url, r.task.priority, r.errCode))
       .toDF("iteration", "first_ip", "seq", "url", "priority", "err_code")
@@ -726,6 +828,7 @@ object Crawl {
     spark.emptyDataset[FrontierReply].write.mode("overwrite").parquet(s"$d/replies")
     spark.emptyDataset[IpState].write.mode("overwrite").parquet(s"$d/ip_state")
     spark.emptyDataset[DomState].write.mode("overwrite").parquet(s"$d/dom_state")
+    spark.emptyDataset[InlinkState].write.mode("overwrite").parquet(s"$d/inlink_state")
     Seq.empty[(Int, Int, Int, String, Int, Int)].toDF("iteration", "first_ip", "seq", "url", "priority", "err_code")
       .write.mode("overwrite").parquet(s"$d/fetch_log")
     writeManifest(workdir, 0, Seq(MetricsRow(0, 0, 0, 0, 0, 0, seedUrls.size, 0, 0, 0)))

@@ -94,6 +94,22 @@ final case class IpState(first_ip: Int, last_download_end_ms: Long)
 /** Per-domain crawl-delay state (m_cdTable, Spider.h:1397). */
 final case class DomState(dom_hash32: Int, crawl_delay_ms: Int)
 
+/** Per-URL inlinking /24 c-block set feeding `numinlinks` rules
+  * (SpiderRequest.m_pageNumInlinks, Spider.h:523; scan counter
+  * Spider.cpp:4286-4327, cap 20). NOTE an intentional deviation: the
+  * reference's scan counts c-blocks of `sreq->m_firstIp` — the TARGET's
+  * own IP, identical across a uh48's requests — because the field that
+  * once carried the discovering parent's IP is commented out
+  * (Spider.h:520 m_parentFirstIp), leaving the count vestigially ≤1.
+  * This engine implements the documented intent: distinct c-blocks of
+  * the PARENT IPs that discovered the URL, so `numinlinks>7` rows
+  * (default table rows 8-9, priority 51/52) actually fire. Keyed
+  * (first_ip, uh48) to stay co-partitioned with the frontier; the
+  * cblock set keeps the 20 smallest (deterministic; the reference keeps
+  * first-seen-20, an order-dependent choice its own scan cannot
+  * reproduce across merges). */
+final case class InlinkState(first_ip: Int, uh48: Long, cblocks: Array[Int])
+
 /** One scheduled fetch (a doledb entry; Spider.h:1133-1157). */
 final case class FetchTask(
     uh48: Long,
