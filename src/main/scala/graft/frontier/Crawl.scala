@@ -425,11 +425,17 @@ object Crawl {
 
   /** S6+X5+X7-X12: fetch batch against the pages table, robots-gated,
     * parse and harvest outlinks. The fetch is repartitioned by first_ip so
-    * one task owns an IP (Msg13 per-IP consistency, Msg13.cpp:249). */
+    * one task owns an IP (Msg13 per-IP consistency, Msg13.cpp:249).
+    *
+    * Outlinks leave this stage with `first_ip = 0` / `site_num_inlinks
+    * = -1`; host→firstIp resolution is a JOIN against host_meta in
+    * resolveOutlinks (the Msge1 batch-lookup shape, Msge1.cpp:36) — no
+    * O(#hosts) driver-side map, which would OOM the driver at 10^8+
+    * hosts. robots stays a plain join: Spark auto-broadcasts it while
+    * small; at 10^9 hosts it shuffles on host like any dimension. */
   def fetch(batch: Dataset[FetchTask],
             pages: Dataset[PageRow],
             robots: Dataset[RobotsRow],
-            hostMeta: Dataset[HostMeta],
             cfg: Config,
             iteration: Int): Dataset[FetchResult] = {
     val spark = batch.sparkSession
@@ -440,10 +446,8 @@ object Crawl {
 
     val withHost = batch.withColumn("host", graft.functions.GraftFunctions.urlHost(col("url")))
 
-    // robots + host_meta are O(#hosts): broadcast when small, else the
-    // join shuffles on host (both sides partitioned by host)
     val joined = withHost
-      .join(broadcast(robots.toDF().withColumnRenamed("host", "rhost")), col("host") === col("rhost"), "left_outer")
+      .join(robots.toDF().withColumnRenamed("host", "rhost"), col("host") === col("rhost"), "left_outer")
       .join(pages.toDF().select(col("url").as("purl"), col("html"), col("lang").as("plang")), col("url") === col("purl"), "left_outer")
       .select(
         struct(col("uh48"), col("first_ip"), col("url"), col("priority"), col("ufn"),
@@ -453,8 +457,6 @@ object Crawl {
         col("plang").as[String]
       )
 
-    val hm = hostMeta.collect().map(h => h.host -> h).toMap
-    val hmB = spark.sparkContext.broadcast(hm)
     val ua = cfg.userAgent
 
     joined
@@ -492,7 +494,6 @@ object Crawl {
           val outs: Seq[FrontierRequest] = if (!harvest) Nil else {
             val links = GbLinks.harvest(norm, nodes, u)
             val seenInPage = new java.util.HashSet[Integer]()
-            val metaMap = hmB.value
             links.flatMap { l =>
               // dup-in-page dedup by hash32 of the url (XmlDoc.cpp:27614-27618)
               var uh32 = GbHash.hash32(l.url.url)
@@ -506,10 +507,6 @@ object Crawl {
                 else if (lu.hostLen <= 2) None
                 else if (lu.uh48 == task.uh48) None // skip self (XmlDoc.cpp:27957)
                 else {
-                  val meta = metaMap.get(lu.host)
-                  val firstIp = meta.map(_.first_ip).getOrElse {
-                    val ip = GbHash.hash32(lu.host); if (ip == 0 || ip == -1) 1 else ip
-                  }
                   var hc = task.hop_count + 1
                   if (hc > 65535) hc = 65535
                   if (lu.isRoot && !lu.hasQuery) hc = 0 // site root (X13)
@@ -526,12 +523,12 @@ object Crawl {
                   if (lu.hostHash32 == u.hostHash32) fl |= Flags.SameSite // site == host
                   Some(FrontierRequest(
                     uh48 = lu.uh48,
-                    first_ip = firstIp,
+                    first_ip = 0, // resolved by the host_meta join (resolveOutlinks)
                     url = lu.url,
                     host_hash32 = lu.hostHash32,
                     dom_hash32 = lu.domHash32,
                     site_hash32 = lu.hostHash32,
-                    site_num_inlinks = meta.map(_.site_num_inlinks).getOrElse(-1),
+                    site_num_inlinks = -1, // resolved by the host_meta join
                     added_time = now,
                     discovery_time = now,
                     hop_count = hc,
@@ -548,6 +545,40 @@ object Crawl {
             if (plang == null) "en" else plang, contentHash, downloadEnd, outs, text)
         }
       }
+  }
+
+  /** J5: batch host→(firstIp, siteNumInlinks) resolution as a JOIN on
+    * host (the Msge1 batch-lookup shape, Msge1.cpp:36 getFirstIps) —
+    * replaces the round-1 driver-side collect()+broadcast map, which is
+    * O(#hosts) driver memory. host_meta auto-broadcasts while small and
+    * shuffles on host at scale. Unknown hosts fall back to a
+    * deterministic hash32(host) pseudo-IP (sandbox DNS stand-in).
+    * Returns (parent_cblock, outlink) pairs — the cblock feeds A7. */
+  def resolveOutlinks(results: Dataset[FetchResult],
+                      hostMeta: Dataset[HostMeta]): Dataset[(Int, FrontierRequest)] = {
+    val spark = results.sparkSession
+    import spark.implicits._
+    import graft.functions.GraftFunctions.{urlHost, gbHash32}
+    val raw = results.flatMap(r => r.outlinks.map(o => (r.task.first_ip & 0x00ffffff, o)))
+      .toDF("parent_cblock", "o")
+      .withColumn("host", urlHost(col("o.url")))
+    raw
+      .join(hostMeta.toDF().select(col("host").as("hm_host"),
+          col("first_ip").as("hm_ip"), col("site_num_inlinks").as("hm_sni")),
+        col("host") === col("hm_host"), "left_outer")
+      .withColumn("fb_ip", gbHash32(col("host")))
+      .withColumn("res_ip", coalesce(col("hm_ip"),
+        when(col("fb_ip") === 0 || col("fb_ip") === -1, lit(1)).otherwise(col("fb_ip"))))
+      .withColumn("res_sni", coalesce(col("hm_sni"), lit(-1)))
+      .select(col("parent_cblock").as[Int],
+        struct(col("o.uh48").as("uh48"), col("res_ip").as("first_ip"),
+          col("o.url").as("url"), col("o.host_hash32").as("host_hash32"),
+          col("o.dom_hash32").as("dom_hash32"), col("o.site_hash32").as("site_hash32"),
+          col("res_sni").as("site_num_inlinks"), col("o.added_time").as("added_time"),
+          col("o.discovery_time").as("discovery_time"), col("o.hop_count").as("hop_count"),
+          col("o.parent_lang").as("parent_lang"), col("o.flags").as("flags"),
+          col("o.err_count").as("err_count"), col("o.parent_doc_id").as("parent_doc_id")
+        ).as[FrontierRequest])
   }
 
   // ----------------------------------------------------------- writeback
@@ -694,7 +725,7 @@ object Crawl {
       .filter(col("count") > cfg.overflowCap).select("first_ip")
 
     val batch = schedule(requests, replies, ipState, domState, cfg, i, inlinks)
-    val results = fetch(batch, pages, robots, hostMeta, cfg, i)
+    val results = fetch(batch, pages, robots, cfg, i)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // one aggregation pass for all outcome counters
@@ -710,8 +741,11 @@ object Crawl {
     val errors = scheduled - fetched - robotsDenied
     val outlinkTotal = stats.values.map(_._2).sum
 
-    // outlink candidates (drop those landing on overflowed IPs — A8)
-    val candidates = results.flatMap(_.outlinks)
+    // J5: resolve outlink hosts via the host_meta join, then drop those
+    // landing on overflowed IPs (A8)
+    val resolved = resolveOutlinks(results, hostMeta)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val candidates = resolved.map(_._2)
       .join(overflowIps.withColumnRenamed("first_ip", "of_ip"), col("first_ip") === col("of_ip"), "left_anti")
       .as[FrontierRequest]
 
@@ -760,10 +794,9 @@ object Crawl {
     // (pre-admission, like the reference's spiderdb request rows), except
     // those dropped by the A8 overflow guard. O(urls-with-inlinks), not
     // O(frontier): merged per (first_ip, uh48) with a 20-cap.
-    val newPairs = results.flatMap { r =>
-      val cb = r.task.first_ip & 0x00ffffff // ipdom(), Spider.cpp:4286
-      r.outlinks.map(o => (o.first_ip, o.uh48, cb))
-    }.toDF("first_ip", "uh48", "cblock")
+    val newPairs = resolved
+      .map { case (cb, o) => (o.first_ip, o.uh48, cb) }
+      .toDF("first_ip", "uh48", "cblock")
       .join(overflowIps.withColumnRenamed("first_ip", "of_ip"),
         col("first_ip") === col("of_ip"), "left_anti")
     val mergedInl = inlinks.toDF()
@@ -784,6 +817,7 @@ object Crawl {
       outlinkTotal - newUrls, 0, wall))
     spark.createDataset(metrics).write.mode("overwrite").parquet(s"$d/metrics")
     writeManifest(workdir, i, metrics)
+    resolved.unpersist()
     results.unpersist()
     IterationResult(scheduled, fetched, robotsDenied, errors, newUrls, outlinkTotal - newUrls)
   }
@@ -843,18 +877,31 @@ object Crawl {
     import spark.implicits._
     val i = latestSnapshot(workdir).getOrElse(0)
     val now = nowSecs(cfg, i)
-    val reqs = urls.flatMap(seedRequest(_, now))
+    injectRequests(spark, workdir, spark.createDataset(urls.flatMap(seedRequest(_, now))), cfg)
+  }
+
+  /** Dataset core of S2 injection — also the streaming intake sink
+    * (SeedStream), which must NOT collect micro-batches to the driver.
+    * Marks rows IsInjecting (clearing IsAddUrl), appends a delta to the
+    * latest snapshot, and keeps the seen-bloom a superset. */
+  def injectRequests(spark: SparkSession, workdir: String,
+                     requests: Dataset[FrontierRequest], cfg: Config): Long = {
+    import spark.implicits._
+    val i = latestSnapshot(workdir).getOrElse(0)
+    val reqs = requests
       .map(r => r.copy(flags = (r.flags | Flags.IsInjecting) & ~Flags.IsAddUrl))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // unlike outlink admission, injections are NOT dropped for already-seen
     // urls (the reference's dup cache salts its key with the isInjecting
     // flag, Spider.cpp:2147-2211); only an exact (first_ip, uh48) record —
     // the injected fake-ip shard slot — dedups, preserving the engine's
     // composite-key uniqueness invariant
     val existing = loadRequests(spark, workdir, i).select("first_ip", "uh48")
-    val fresh = spark.createDataset(reqs)
+    val fresh = reqs
       .dropDuplicates("first_ip", "uh48")
       .join(existing, Seq("first_ip", "uh48"), "left_anti")
       .as[FrontierRequest]
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val n = fresh.count()
     val target = s"${snapDir(workdir, i)}/requests_delta"
     val mode = if (new java.io.File(target).exists) "append" else "overwrite"
@@ -862,13 +909,15 @@ object Crawl {
     // the seen bloom must remain a SUPERSET of all request uh48s, or a
     // future bloom-negative would skip the exact anti-join and re-admit
     SeenBloom.update(loadBloom(spark, workdir, i, cfg),
-      spark.createDataset(reqs.map(r => java.lang.Long.valueOf(r.uh48))),
+      reqs.map(r => java.lang.Long.valueOf(r.uh48)),
       cfg.seenBuckets, cfg.expectedSeenPerBucket, cfg.bloomFpp)
       .write.mode("overwrite").parquet(s"${snapDir(workdir, i)}/seen_bloom_tmp")
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"${snapDir(workdir, i)}/seen_bloom"), true)
     fs.rename(new org.apache.hadoop.fs.Path(s"${snapDir(workdir, i)}/seen_bloom_tmp"),
       new org.apache.hadoop.fs.Path(s"${snapDir(workdir, i)}/seen_bloom"))
+    fresh.unpersist()
+    reqs.unpersist()
     n
   }
 

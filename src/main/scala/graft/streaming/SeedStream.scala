@@ -43,11 +43,10 @@ object SeedStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: Dataset[FrontierRequest], batchId: Long) =>
-        // route each micro-batch through the injection path so the
-        // (first_ip, uh48) uniqueness invariant AND the seen-bloom
-        // superset invariant both hold
-        val urls = batch.collect().map(_.url).toSeq
-        if (urls.nonEmpty) Crawl.inject(spark, workdir, urls, cfg)
+        // the micro-batch Dataset goes straight into the injection core
+        // (delta append + bloom superset update) — NO driver-side
+        // collect; at scale a batch can be millions of urls
+        Crawl.injectRequests(spark, workdir, batch, cfg)
         ()
       }
       .start()
