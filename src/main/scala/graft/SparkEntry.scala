@@ -50,6 +50,25 @@ object SparkEntry {
   private val linksFixture =
     """<html><body><a href="/a.html">A</a><a rel="nofollow" href="/no.html">N</a><a href="http://other.test/x">X</a><link rel="alternate" type="application/rss+xml" href="/feed.xml"><a href="mailto:x@y.z">M</a><a href="b.html#frag">B</a></body></html>"""
 
+  /** Committed crawl goldens on the main classpath (see GenGoldens). */
+  private def goldenLines(name: String): Seq[String] = {
+    val in = getClass.getResourceAsStream(s"/graft/golden/$name")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().toList finally src.close()
+  }
+
+  /** One shared 5-iteration micro-corpus crawl per JVM — the real
+    * frontier the driver-visible oracle queries read from. */
+  @volatile private var crawlMemo: String = null
+  private def crawlDir(s: SparkSession): String = synchronized {
+    if (crawlMemo == null) {
+      val w = java.nio.file.Files.createTempDirectory("graft_q_crawl").toString
+      Crawl.run(s, w, Corpus.micro, 5)
+      crawlMemo = w
+    }
+    crawlMemo
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- relational patterns of the crawl loop, on the TPC-H-ish tables
     "q1_lineitem_agg" -> ((s, d) => {
@@ -159,13 +178,19 @@ object SparkEntry {
         .toDF("url", "uh48", "first_ip", "hop_count")
     }),
 
-    // ----- whole-pipeline (rows-only checks; byte-level goldens in sbt test)
+    // ----- whole-pipeline queries on the REAL frontier, with VALUES
+    // oracles built from the committed crawl goldens (driver-visible
+    // equivalents of the sbt byte-level goldens)
     "crawl_iteration" -> ((s, d) => {
-      val work = java.nio.file.Files.createTempDirectory("graft_q_crawl").toString
-      Crawl.run(s, work, Corpus.micro, 2)
-      s.read.parquet(s"${Crawl.snapDir(work, 2)}/fetch_log")
+      val w = crawlDir(s)
+      (1 to 2).map(i => s.read.parquet(s"${Crawl.snapDir(w, i)}/fetch_log")).reduce(_ unionByName _)
         .select("iteration", "first_ip", "seq", "url", "priority", "err_code")
     }),
+    "j2_seen_frontier" -> ((s, d) =>
+      Crawl.loadRequests(s, crawlDir(s), 5).select("uh48")),
+    "a7_inlinks_frontier" -> ((s, d) =>
+      Crawl.loadInlinkState(s, crawlDir(s), 5).toDF()
+        .select(col("first_ip"), col("uh48"), size(col("cblocks")).as("n_cblocks"))),
 
     // ----- training-data ops: dedup
     "dedup_exact" -> ((s, d) => TextOps.exactDupCounts(read(s, d, "documents"))),
@@ -194,6 +219,30 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // real-frontier oracles, built from the committed crawl goldens
+    "crawl_iteration" -> {
+      val rows = goldenLines("crawl_order.tsv")
+        .filter(_.split('\t')(0).toInt <= 2)
+        .map { l =>
+          val f = l.split('\t')
+          s"(${f(0)}, ${f(1)}, ${f(2)}, '${f(3)}', ${f(4)}, ${f(5)})"
+        }
+      "SELECT CAST(iteration AS INTEGER) AS iteration, CAST(first_ip AS INTEGER) AS first_ip, " +
+        "CAST(seq AS INTEGER) AS seq, url, CAST(priority AS INTEGER) AS priority, " +
+        "CAST(err_code AS INTEGER) AS err_code FROM (VALUES " + rows.mkString(",") +
+        ") AS t(iteration, first_ip, seq, url, priority, err_code)"
+    },
+    "j2_seen_frontier" -> {
+      val rows = goldenLines("seen_set.tsv").map(u => s"($u)")
+      s"SELECT CAST(uh48 AS BIGINT) AS uh48 FROM (VALUES ${rows.mkString(",")}) AS t(uh48)"
+    },
+    "a7_inlinks_frontier" -> {
+      val rows = goldenLines("inlink_counts.tsv").map { l =>
+        val f = l.split('\t'); s"(${f(0)}, ${f(1)}, ${f(2)})"
+      }
+      "SELECT CAST(first_ip AS INTEGER) AS first_ip, CAST(uh48 AS BIGINT) AS uh48, " +
+        s"CAST(n_cblocks AS INTEGER) AS n_cblocks FROM (VALUES ${rows.mkString(",")}) AS t(first_ip, uh48, n_cblocks)"
+    },
     "q1_lineitem_agg" ->
       "SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS BIGINT) AS sum_qty, count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus",
     "a2_winner_topk" ->

@@ -12,7 +12,10 @@ import graft.rules._
 class GoldenSpec extends AnyFunSuite {
 
   private def golden(name: String): Seq[String] = {
-    val in = getClass.getResourceAsStream(s"/golden/$name")
+    // crawl-pipeline goldens moved to the main classpath (/graft/golden)
+    // so SparkEntry can build DuckDB VALUES oracles from them
+    val in = Option(getClass.getResourceAsStream(s"/golden/$name"))
+      .getOrElse(getClass.getResourceAsStream(s"/graft/golden/$name"))
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
     try src.getLines().toList finally src.close()
   }
