@@ -218,7 +218,38 @@ object SparkEntry {
         .select(col("doc_id"), col("width").cast("long").as("width"), col("height").cast("long").as("height")))
   )
 
+  /** Builds a DuckDB VALUES oracle from a committed golden tsv. `cols`:
+    * (name, sqlType, quoted). */
+  private def valuesOracle(file: String, cols: Seq[(String, String, Boolean)]): String = {
+    val rows = goldenLines(file).map { l =>
+      val f = l.split('\t')
+      cols.zipWithIndex.map { case ((_, _, q), i) =>
+        if (q) "'" + f(i).replace("'", "''") + "'" else f(i)
+      }.mkString("(", ", ", ")")
+    }
+    val sel = cols.map { case (n, t, _) => s"CAST($n AS $t) AS $n" }.mkString(", ")
+    val names = cols.map(_._1).mkString(", ")
+    s"SELECT $sel FROM (VALUES ${rows.mkString(",")}) AS t($names)"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // deterministic textops whose math DuckDB can't recompute
+    // (tabulation-hash signatures, hyperplane buckets): VALUES oracles
+    // from goldens generated once over the fixed sf0.01 testdata
+    // (GenTextOpsGoldens)
+    "dedup_minhash_lsh" -> valuesOracle("textops_minhash_lsh.tsv",
+      Seq(("doc_a", "BIGINT", false), ("doc_b", "BIGINT", false))),
+    "dedup_simhash" -> valuesOracle("textops_simhash.tsv",
+      Seq(("doc_a", "BIGINT", false), ("doc_b", "BIGINT", false), ("hamming", "INTEGER", false))),
+    "ann_lsh_topk" -> valuesOracle("textops_ann_lsh.tsv",
+      Seq(("q_id", "BIGINT", false), ("neighbor_id", "BIGINT", false), ("rank", "INTEGER", false))),
+    "text_fingerprint" -> valuesOracle("textops_fingerprint.tsv",
+      Seq(("doc_id", "BIGINT", false), ("fingerprint", "BIGINT", false))),
+    "text_langid" -> valuesOracle("textops_langid.tsv",
+      Seq(("doc_id", "BIGINT", false), ("pred_lang", "VARCHAR", true), ("lang", "VARCHAR", true))),
+    "mm_decode_stub" -> valuesOracle("textops_mm_decode.tsv",
+      Seq(("doc_id", "BIGINT", false), ("width", "BIGINT", false), ("height", "BIGINT", false))),
+
     // real-frontier oracles, built from the committed crawl goldens
     "crawl_iteration" -> {
       val rows = goldenLines("crawl_order.tsv")
@@ -335,9 +366,11 @@ object SparkEntry {
     "text_tokens" ->
       ("SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens, " +
         "CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS re_tokens FROM documents"),
-    "text_quality" ->
-      ("SELECT doc_id, n_chars, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens, " +
-        "CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS stopword_count, " +
-        "CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS distinct_tokens FROM documents")
+    "text_quality" -> {
+      val sw = TextOps.stopwords.map(s => s"'$s'").mkString("(", ",", ")")
+      "SELECT doc_id, n_chars, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens, " +
+        s"CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x IN $sw)) AS BIGINT) AS stopword_count, " +
+        "CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS distinct_tokens FROM documents"
+    }
   )
 }

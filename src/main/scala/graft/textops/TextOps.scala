@@ -23,9 +23,19 @@ object TextOps {
 
   // ------------------------------------------------------------ exact dup
 
-  /** Exact duplicate detection: hash-groupBy on the full text. */
+  /** Exact duplicate detection. Shape matters at 100 TB: a window
+    * `partitionBy(text)` has no map-side combine and SORTS partitions by
+    * the full document text; this hash-aggregate groups on
+    * (xxhash64(text), text) — partial aggregation combines duplicates
+    * before the shuffle and nothing ever sorts on a megabyte string key.
+    * Exactness is preserved (text stays in the key; the hash only
+    * cheapens compares/partitioning). The collect_list per distinct text
+    * is bounded by the duplicate-group size. */
   def exactDupCounts(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), count(lit(1)).over(Window.partitionBy(col("text"))).as("dup_count"))
+    docs.select(col("doc_id"), xxhash64(col("text")).as("th"), col("text"))
+      .groupBy(col("th"), col("text"))
+      .agg(count(lit(1)).as("dup_count"), collect_list(col("doc_id")).as("ids"))
+      .select(explode(col("ids")).as("doc_id"), col("dup_count"))
 
   // ------------------------------------------------------- n-gram jaccard
 
@@ -43,7 +53,10 @@ object TextOps {
     * shared-shingle volume, not |docs|²). Returns integer intersection /
     * union sizes (exact, no float compare issues). */
   def ngramJaccardPairs(docs: DataFrame, maxDocId: Long = 200L, minJaccardPct: Int = 50): DataFrame = {
-    val sh = shingles(docs, maxDocId).cache()
+    // no .cache(): the shingle set is recomputed by the self-join sides
+    // (cheap column work) instead of pinning executor memory that the
+    // caller can never unpersist from a returned lazy DataFrame
+    val sh = shingles(docs, maxDocId)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -196,20 +209,80 @@ object TextOps {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
   }
 
-  /** Embedding-cosine near-dup pairs above an integer-percent threshold. */
+  /** EXACT embedding-cosine near-dup pairs above an integer-percent
+    * threshold. This is the exhaustive-verify stage: O(n²) dot products
+    * are inherent to an exact cosine threshold, so at corpus scale it
+    * must only ever run on LSH candidate sets (embeddingLshDupPairs) —
+    * never corpus-wide. The capped side is explicitly broadcast so the
+    * plan is a BroadcastNestedLoopJoin (bounded memory, no
+    * CartesianProduct partition explosion). */
   def embeddingDupPairs(emb: DataFrame, maxVecId: Long = 300L, minCosPct: Int = 90): DataFrame = {
     val sub = emb.filter(col("vec_id") < maxVecId)
       .withColumn("norm",
         sqrt(expr("aggregate(embedding, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
-    sub.as("a").join(sub.as("b"), col("a.vec_id") < col("b.vec_id"))
+    sub.as("a").join(broadcast(sub.as("b")), col("a.vec_id") < col("b.vec_id"))
       .withColumn("dot", expr("aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"))
       .filter(col("dot") >= lit(minCosPct / 100.0) * col("a.norm") * col("b.norm"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
   }
 
+  /** The 100-TB shape for embedding near-dup: banded random-hyperplane
+    * LSH candidate generation (equi-join on (band, band-signature)) +
+    * exact cosine verify of candidates only. With `nPlanes` planes in
+    * `bands` bands of r = nPlanes/bands, a pair at cosine ≥ t collides in
+    * at least one band with prob 1-(1-p^r)^bands, p = 1-acos(t)/π —
+    * e.g. t=0.9, 24 planes in 12 bands of 2: ~99.97%. Recall is below 1
+    * by construction (this is why the exact verify op above cannot be
+    * "just bucketed" and keep identical output at low thresholds). */
+  def embeddingLshDupPairs(emb: DataFrame, minCosPct: Int = 90,
+                           nPlanes: Int = 24, bands: Int = 12, dim: Int = 64): DataFrame = {
+    val r = nPlanes / bands
+    val planes: Array[Array[Double]] = Array.tabulate(nPlanes) { p =>
+      Array.tabulate(dim) { d =>
+        GbHash.hash64h(p.toLong << 32 | d.toLong, 0x5bd1e995L).toDouble / Long.MaxValue.toDouble
+      }
+    }
+    val planesB = emb.sparkSession.sparkContext.broadcast(planes)
+    val sigU = udf((v: Seq[Float]) => {
+      val ps = planesB.value
+      var sig = 0
+      var p = 0
+      while (p < ps.length) {
+        var dot = 0.0
+        var d = 0
+        val lim = math.min(v.length, ps(p).length)
+        while (d < lim) { dot += v(d) * ps(p)(d); d += 1 }
+        if (dot >= 0) sig |= (1 << p)
+        p += 1
+      }
+      sig
+    })
+    val withSig = emb
+      .withColumn("sig", sigU(col("embedding")))
+      .withColumn("norm",
+        sqrt(expr("aggregate(embedding, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
+    val mask = (1 << r) - 1
+    val banded = withSig.select(col("vec_id"), col("embedding"), col("norm"),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> shiftright(sig, b * $r) & $mask)")))
+      .toDF("vec_id", "embedding", "norm", "band", "bkey")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"),
+        col("a.norm").as("na"), col("b.norm").as("nb"))
+      .dropDuplicates("vec_a", "vec_b") // same pair from several bands
+      .withColumn("dot", expr("aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"))
+      .filter(col("dot") >= lit(minCosPct / 100.0) * col("na") * col("nb"))
+      .select(col("vec_a"), col("vec_b"))
+  }
+
   // ------------------------------------------------------------ text stats
 
-  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "to", "in", "is", "it", "that",
+    "for", "on", "was", "with", "as", "at", "by", "be", "this", "are",
+    "or", "from", "but", "not", "have", "had", "has", "they", "you", "we")
 
   /** Token counts: whitespace tokens + BPE-ish regex tokens (runs of
     * word chars or single non-space symbols). Pure column expressions. */
@@ -230,23 +303,47 @@ object TextOps {
       size(array_distinct(split(trim(col("text")), "\\s+"))).as("distinct_tokens"))
   }
 
-  /** Language id: trigram-profile heuristic (deterministic, n-gram based).
-    * Profiles are the most frequent character trigrams of each language's
-    * stopword set — a toy but real n-gram classifier. */
+  /** Language id: two-stage deterministic classifier (X14 analogue).
+    * Stage 1 — script detection by codepoint range (CJK/kana/hangul/
+    * cyrillic/arabic): non-latin scripts are decided by character share,
+    * which trigram profiles over latin text can never do. Stage 2 —
+    * character-trigram profiles for latin-script languages. */
   private val langProfiles: Map[String, Set[String]] = Map(
-    "en" -> Set("the", "and", "ing", "ion", "of "),
-    "es" -> Set("que", "los", "de ", "ión", "ado"),
-    "de" -> Set("der", "ein", "und", "sch", "en "),
-    "fr" -> Set("les", "de ", "ent", "que", "ion"),
-    "zh" -> Set.empty
+    "en" -> Set("the", "and", "ing", "ion", "of ", " th", "he ", "ed "),
+    "es" -> Set("que", "los", "de ", "ión", "ado", " la", "el ", "ar "),
+    "de" -> Set("der", "ein", "und", "sch", "ich", "die", "cht", "ung"),
+    "fr" -> Set("les", " le", "ent", "que", "des", "ait", "eur", "oir"),
+    "it" -> Set("che", " di", "ere", "zza", "ione", "gli", "tto", "lla"),
+    "pt" -> Set("ção", " de", "os ", "ado", "nho", "ara", "ram", "ões")
   )
 
   def langIdOf(text: String): String = {
+    var cjk = 0; var kana = 0; var hangul = 0; var cyr = 0; var arab = 0; var letters = 0
+    var i = 0
+    val lim = math.min(text.length, 2000)
+    while (i < lim) {
+      val c = text.charAt(i).toInt
+      if (Character.isLetter(c)) {
+        letters += 1
+        if (c >= 0x4e00 && c <= 0x9fff) cjk += 1
+        else if ((c >= 0x3040 && c <= 0x30ff)) kana += 1
+        else if (c >= 0xac00 && c <= 0xd7af) hangul += 1
+        else if (c >= 0x0400 && c <= 0x04ff) cyr += 1
+        else if (c >= 0x0600 && c <= 0x06ff) arab += 1
+      }
+      i += 1
+    }
+    if (letters > 0) {
+      // script share thresholds: 30% of letters decides the script
+      if (kana * 10 >= letters * 3) return "ja"
+      if (hangul * 10 >= letters * 3) return "ko"
+      if (cjk * 10 >= letters * 3) return "zh" // han without kana
+      if (cyr * 10 >= letters * 3) return "ru"
+      if (arab * 10 >= letters * 3) return "ar"
+    }
     val t = text.toLowerCase
     val grams = t.sliding(3).take(2000).toSeq
-    val scores = langProfiles.map { case (l, prof) =>
-      l -> (if (prof.isEmpty) 0 else grams.count(prof.contains))
-    }
+    val scores = langProfiles.map { case (l, prof) => l -> grams.count(prof.contains) }
     val best = scores.maxBy { case (l, s) => (s, l) }
     if (best._2 == 0) "und" else best._1
   }
@@ -300,8 +397,19 @@ object TextOps {
   }
 
   def decodeMedia(df: DataFrame, binCol: String, idCol: String): DataFrame = {
-    val dec = udf((b: Array[Byte]) => stubDecode(if (b == null) Array.empty[Byte] else b))
-    df.select(col(idCol), dec(col(binCol)).as("m"))
-      .select(col(idCol), col("m._1").as("width"), col("m._2").as("height"), col("m._3").as("features"))
+    // per-partition batched iteration — the mapInPandas-shaped contract:
+    // decoder state initializes ONCE per partition (real codecs are
+    // expensive to construct), rows stream through it
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real decoder/codec init would happen here, once per partition
+        it.map { case (id, b) =>
+          val (w, h, f) = stubDecode(if (b == null) Array.empty[Byte] else b)
+          (id, w, h, f)
+        }
+      }
+      .toDF(idCol, "width", "height", "features")
   }
 }

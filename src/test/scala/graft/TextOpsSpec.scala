@@ -75,6 +75,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(lsh.forall(r => ids.contains(r.getAs[Long]("neighbor_id"))))
   }
 
+  test("embedding LSH dedup: finds near-duplicate vectors, verifies exactly") {
+    import spark.implicits._
+    // 8 base vectors; each gets a near-duplicate (tiny deterministic
+    // perturbation, cosine > 0.99) — the banded-LSH path must recover
+    // every pair and the exact verify must reject unrelated ones
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(8)(Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      val dup = v.map(x => x + 0.01f)
+      Seq((i.toLong * 2, v.toSeq), (i.toLong * 2 + 1, dup.toSeq))
+    }
+    val emb = rows.toSeq.toDF("vec_id", "embedding")
+    val pairs = TextOps.embeddingLshDupPairs(emb, minCosPct = 95)
+      .as[(Long, Long)].collect().toSet
+    val expected = (0 until 8).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
+    assert(expected.subsetOf(pairs), s"missed near-dup pairs: ${expected -- pairs}")
+    // exact verify: every reported pair really has cosine >= 0.95
+    val exact = TextOps.embeddingDupPairs(emb, Long.MaxValue, 95).as[(Long, Long)].collect().toSet
+    assert(pairs.subsetOf(exact), s"LSH path reported pairs the exact op rejects: ${pairs -- exact}")
+  }
+
   test("multimodal stub decode: deterministic shapes") {
     import spark.implicits._
     val df = docs().withColumn("blob", encode(col("text"), "UTF-8"))
