@@ -81,6 +81,30 @@ FIX["f58_mixed_real"] = (
 FIX["f59_sup_ordinal_tail"] = b"<p>1<sup>st</sup></p>"
 FIX["f60_lt_then_sup_text"] = b"<p>2 < 3<sup>x</sup> ok</p>"
 
+# --- charset fixtures (X7): step-0 conversion paths ---
+FIX["f61_cp1252_meta"] = ("<html><head><meta charset=windows-1252></head><body>"
+    "caf\xe9 r\xe9sum\xe9 \x93quoted\x94 \x80uro</body></html>").encode("latin-1")
+FIX["f62_latin1_sniff"] = "<body>no meta tag here: na\xefve fa\xe7ade \xbd cup</body>".encode("latin-1")
+FIX["f63_gb2312_meta"] = ("<html><head><meta http-equiv=\"Content-Type\" "
+    "content=\"text/html; charset=gb2312\"></head><body>".encode("ascii")
+    + "中文网页内容".encode("gb2312")
+    + " mixed ascii</body></html>".encode("ascii"))
+FIX["f64_xml_encoding"] = ("<?xml version=\"1.0\" encoding=\"ISO-8859-1\"?>"
+    "<body>s\xf8ster \xe6ble</body>").encode("latin-1")
+FIX["f65_bogus_charset"] = b"<head><meta charset=bogus-nonsense></head><body>fallback utf8</body>"
+FIX["f66_utf16le_bom"] = "<body>utf sixteen é世</body>".encode("utf-16-le")  # no BOM prefix here
+FIX["f66_utf16le_bom"] = b"\xff\xfe" + "<body>utf sixteen é世</body>".encode("utf-16-le")
+FIX["f67_cp1252_undefined"] = "<body>bad byte: [\x81] kept going \xe9</body>".encode("latin-1")
+FIX["f68_charset_in_comment"] = b"<body><!-- charset=gb2312 --> plain \xc3\xa9 utf8</body>"
+FIX["f69_sjis_meta"] = ("<head><meta charset=shift_jis></head><body>".encode("ascii")
+    + "日本語テスト".encode("shift_jis")
+    + "</body>".encode("ascii"))
+
+FIX["f70_iso88591_meta_high"] = ("<head><meta charset=iso-8859-1></head>"
+    "<body>euro? [\x80] dag [\x86]</body>").encode("latin-1")
+FIX["f71_cp1252_meta_undef"] = ("<head><meta charset=windows-1252></head>"
+    "<body>undef [\x8d] dag [\x86]</body>").encode("latin-1")
+
 for name, data in FIX.items():
     with open(os.path.join(OUT, name + ".html"), "wb") as f:
         f.write(data)

@@ -28,9 +28,112 @@
 #include "Xml.h"
 #include "fctypes.h"
 #include "Unicode.h"
+#include "iana_charset.h"
 
 #define CT_HTML 1          // HttpMime.h:28
 #define TITLEREC_VERSION 121 // Titledb.h:21
+
+// ---- step 0a: charset detection, excerpt of getCharsetFast
+// (XmlDoc.cpp:18544-18718) with the HttpMime header charset passed in as
+// `charset` (csUnknown when absent, as for raw page bytes) ----
+static int16_t detectCharset(char *s, int32_t slen, int16_t charset) {
+	if ( slen < 0 ) slen = 0;
+	char *pstart = s;
+	char *pend   = s + slen;
+	char *cs = ucDetectBOM ( pstart , pend - pstart );
+	if ( cs && charset == csUnknown ) {
+		int32_t len = strlen(cs); if ( len > 31 ) len = 31;
+		charset = get_iana_charset ( cs , len );
+	}
+	char *p = pstart;
+	if ( charset == csUTF8 ) {
+		for ( char *s2 = pstart ; s2 < pend ; s2 += getUtf8CharSize(s2) ) {
+			if ( ! isFirstUtf8Char ( s2 ) ) { charset = csUnknown; break; }
+		}
+	}
+	if ( charset != csUnknown ) p = pend;
+	if ( p ) p += 10;
+	for ( ; p < pend ; p++ ) {
+		if ( *p != '=' ) continue;
+		char c = to_lower_a(p[-1]);
+		if ( c == 't' ) {
+			if ( to_lower_a(p[-2]) != 'e' ) continue;
+			if ( to_lower_a(p[-3]) != 's' ) continue;
+			if ( to_lower_a(p[-4]) != 'r' ) continue;
+			if ( to_lower_a(p[-5]) != 'a' ) continue;
+			if ( to_lower_a(p[-6]) != 'h' ) continue;
+			if ( to_lower_a(p[-7]) != 'c' ) continue;
+		}
+		else if ( c == 'g' ) {
+			if ( to_lower_a(p[-2]) != 'n' ) continue;
+			if ( to_lower_a(p[-3]) != 'i' ) continue;
+			if ( to_lower_a(p[-4]) != 'd' ) continue;
+			if ( to_lower_a(p[-5]) != 'o' ) continue;
+			if ( to_lower_a(p[-6]) != 'c' ) continue;
+			if ( to_lower_a(p[-7]) != 'n' ) continue;
+			if ( to_lower_a(p[-8]) != 'e' ) continue;
+		}
+		else
+			continue;
+		char *limit = p - 500;
+		bool inTag = false;
+		if ( limit >= pend   ) limit = pstart;
+		if ( limit <  pstart ) limit = pstart;
+		for ( char *s2 = p ; s2 >= limit ; s2 -= 1 ) {
+			if ( *s2 == '>' ) break;
+			if ( *s2 != '<' ) continue;
+			if ( to_lower_a(s2[1]) == 'm' && to_lower_a(s2[2]) == 'e' &&
+			     to_lower_a(s2[3]) == 't' && to_lower_a(s2[4]) == 'a' ) {
+				inTag = true; break;
+			}
+			if ( to_lower_a(s2[1]) == 'x' && to_lower_a(s2[2]) == 'm' &&
+			     to_lower_a(s2[3]) == 'l' ) { inTag = true; break; }
+			if ( to_lower_a(s2[1]) == '?' && to_lower_a(s2[2]) == 'x' &&
+			     to_lower_a(s2[3]) == 'm' && to_lower_a(s2[4]) == 'l' ) {
+				inTag = true; break;
+			}
+		}
+		if ( ! inTag ) continue;
+		p += 1;
+		if ( *p == '\'' ) p += 1;
+		if ( *p == '\"' ) p += 1;
+		char *csString = p;
+		limit = p + 50;
+		if ( limit > pend ) limit = pend;
+		if ( limit < p    ) limit = pend;
+		while ( p < limit && *p && *p !='\"' && *p !='\'' &&
+			! is_wspace_a(*p) && *p !='>' && *p != '<' &&
+			*p !='?' && *p !='/' && *p !=';' && *p !='\\' )
+			p += 1;
+		char d = *p;
+		*p = 0;
+		int16_t metaCs = get_iana_charset(csString, strlen(csString));
+		*p = d;
+		if (metaCs != csUnknown ) charset = metaCs;
+		if ( charset != csUnknown ) break;
+	}
+	if ( charset == csISO58GB231280 || charset == csHZGB2312 ||
+	     charset == csGB2312 )
+		charset = csGB18030;
+	if ( charset == csEUCKR )
+		charset = csKSC56011987;
+	if ( charset == csUnknown )
+		charset = csUTF8;
+	if ( charset == csUTF8 ) {
+		char size;
+		for ( char *s2 = pstart ; s2 < pend ; s2 += size ) {
+			size = getUtf8CharSize(s2);
+			if ( ! isFirstUtf8Char ( s2 ) ) {
+				if ( s2[0] == (char)0x80 && s2[1] == (char)0x99 ) {
+					s2 += 2; size = 0; continue;
+				}
+				charset = csISOLatin1;
+				break;
+			}
+		}
+	}
+	return charset;
+}
 
 // ---- step 1: utf8 sanitize, excerpt of XmlDoc.cpp:20187-20218 ----
 static void sanitizeUtf8(char *content) {
@@ -131,10 +234,39 @@ static int processOne(const char *inPath, const char *outPath) {
 	if (fread(buf, 1, sz, f) != (size_t)sz) { fclose(f); return 1; }
 	fclose(f);
 	buf[sz] = '\0';
-	// NOTE: no NUL pre-strip. The reference's sanitize/normalize loops
-	// are *p-terminated, so an embedded NUL ends them early and the
-	// normalize pass effectively truncates the content there — that IS
-	// the reference behavior this harness must reproduce.
+
+	// ---- step 0: getRawUtf8Content (XmlDoc.cpp:19382-19540) ----
+	// detect charset, convert to UTF-8 via the reference's iconv
+	// wrapper, NUL -> ' ', and the trailing-utf8-overflow guard
+	int16_t cs = detectCharset(buf, sz, csUnknown);
+	if (!supportedCharset(cs)) {
+		sz = 0; buf[0] = '\0'; // unsupported charset -> empty doc
+	} else if (cs != csASCII && cs != csUTF8) {
+		char *csName = get_charset_str(cs);
+		int32_t need = sz * 2 + 4096;
+		char *ubuf = (char *)malloc(need);
+		int32_t used = ucToUtf8(ubuf, need - 10, buf, sz, csName,
+		                        -1 /*ignoreBadChars: unlimited*/, 0);
+		if (used <= 0) { used = 0; ubuf[0] = '\0'; }
+		free(buf);
+		buf = ubuf;
+		sz = used;
+		buf[sz] = '\0';
+	}
+	{
+		// convert \0's to spaces (XmlDoc.cpp:19498-19505)
+		for (long k = 0; k < sz; k++) if (!buf[k]) buf[k] = ' ';
+		// trailing bad-utf8 overflow guard (XmlDoc.cpp:19516-19539)
+		char *p = buf, *pend2 = buf + sz, *lastp = NULL;
+		char size;
+		for ( ; ; p += size) {
+			if (p >= pend2) break;
+			lastp = p;
+			size = getUtf8CharSize(p);
+		}
+		if (p > pend2 && lastp)
+			for (p = lastp; p < pend2; p++) *p = ' ';
+	}
 
 	sanitizeUtf8(buf);                                    // step 1
 	int32_t n = htmlDecode(buf, buf, sz, true /*doSpecial*/, 0); // step 2

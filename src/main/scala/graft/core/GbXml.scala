@@ -584,9 +584,11 @@ object GbXml {
     dst.take(end)
   }
 
-  /** The full X7→X10 pipeline over raw page bytes. */
+  /** The full X7→X10 pipeline over raw page bytes: charset detect +
+    * convert to UTF-8 (GbCharset, step 0 = getRawUtf8Content), then the
+    * getUtf8Content chain. */
   def extractTextBytes(html: Array[Byte]): Array[Byte] = {
-    val work = html.clone()
+    val work = GbCharset.toUtf8(html)
     sanitizeUtf8(work)
     val decoded = htmlDecode(work, doSpecial = true)
     val norm = normalizeAfterDecode(decoded)

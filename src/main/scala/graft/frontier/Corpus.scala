@@ -55,11 +55,23 @@ object Corpus {
     }
   }
 
+  /** Hosts k≡6 (mod 8) serve their leaf pages as ISO-8859-1 with a meta
+    * charset tag (X7 coverage: the charset-detect + convert path runs on
+    * real crawl pages, not just unit fixtures). */
+  def isLatin1Page(k: Int, p: Int, spec: Spec): Boolean =
+    k % 8 == 6 && p > spec.sectionsPerHost
+
+  /** Raw page bytes as served: latin1-encoded for latin1 pages. */
+  def pageBytes(k: Int, p: Int, spec: Spec): Array[Byte] =
+    if (isLatin1Page(k, p, spec)) pageHtml(k, p, spec).getBytes("ISO-8859-1")
+    else pageHtml(k, p, spec).getBytes("UTF-8")
+
   /** Deterministic html body with links. */
   def pageHtml(k: Int, p: Int, spec: Spec): String = {
     val sb = new StringBuilder(1024)
     val title = if (p == 0) s"Host $k home" else s"Host $k page $p"
-    sb.append(s"<html><head><title>$title</title></head><body>")
+    val meta = if (isLatin1Page(k, p, spec)) "<meta charset=iso-8859-1>" else ""
+    sb.append(s"<html><head>$meta<title>$title</title></head><body>")
     sb.append(s"<h1>$title</h1>")
     sb.append(s"<p>Deterministic body text for host $k page $p. ")
     sb.append(s"Some entities: fish &amp; chips, caf&eacute;, x&nbsp;y.</p>")
@@ -82,6 +94,8 @@ object Corpus {
       sb.append(s"""<a href="/">home</a> """)
       sb.append(s"""<a href="../s${p % spec.sectionsPerHost + 1}/">next</a> """)
     } else {
+      if (isLatin1Page(k, p, spec))
+        sb.append("<p>Très déjà vu: naïve façade, ½ cup.</p>")
       sb.append(s"""<a href="/">home</a> """)
       // every 3rd leaf links to a sibling host page (deeper discovery)
       if (p % 3 == 0) sb.append(s"""<a href="http://${host((k + 1) % spec.nHosts)}/s1/">peer</a> """)
@@ -113,8 +127,8 @@ object Corpus {
         val k = (idx / pph).toInt
         val p = (idx % pph).toInt
         val url = pageUrl(k, p, spec)
-        val html = pageHtml(k, p, spec).getBytes("UTF-8")
-        val text = GbXml.extractText(html) // the golden value, by construction
+        val html = pageBytes(k, p, spec) // latin1-encoded for k≡6 leaves
+        val text = GbXml.extractText(html) // verified against reference goldens (ref_text.tsv)
         PageRow(url, warcTs(url), html, text, "en")
       }
     }

@@ -480,8 +480,9 @@ object Crawl {
           FetchResult(task, found = false, allowed = true, cd, 404, Errs.EDOCNOTFOUND,
             "", 0, downloadEnd, Nil, "")
         } else {
-          // X7-X10: the byte-exact extraction pipeline
-          val work = html.clone()
+          // X7-X10: the byte-exact extraction pipeline (charset → UTF-8
+          // first: getRawUtf8Content, then the getUtf8Content chain)
+          val work = graft.core.GbCharset.toUtf8(html)
           GbXml.sanitizeUtf8(work)
           val decoded = GbXml.htmlDecode(work, doSpecial = true)
           val norm = GbXml.normalizeAfterDecode(decoded)

@@ -25,20 +25,22 @@ object GenRefCorpus {
     require(Files.exists(harness), "build refharness first: cd refharness && make")
     val tmp = Files.createTempDirectory("refcorpus")
 
-    final case class Page(spec: String, k: Int, p: Int, url: String, html: String)
+    final case class Page(spec: String, k: Int, p: Int, url: String, html: Array[Byte])
     val micro = for {
       k <- 0 until Corpus.micro.nHosts
       p <- 0 until Corpus.micro.pagesPerHost
-    } yield Page("micro", k, p, Corpus.pageUrl(k, p, Corpus.micro), Corpus.pageHtml(k, p, Corpus.micro))
-    val benchHosts = Seq(0, 1, 2, 31, 999, 1998, 1999)
+    } yield Page("micro", k, p, Corpus.pageUrl(k, p, Corpus.micro), Corpus.pageBytes(k, p, Corpus.micro))
+    // bench hosts include k≡6 (mod 8) so the latin1/meta-charset pages
+    // (isLatin1Page) are covered by reference-derived goldens
+    val benchHosts = Seq(0, 1, 2, 6, 14, 31, 999, 1998, 1999)
     val bench = for {
       k <- benchHosts
       p <- 0 until Corpus.bench.pagesPerHost
-    } yield Page("bench", k, p, Corpus.pageUrl(k, p, Corpus.bench), Corpus.pageHtml(k, p, Corpus.bench))
+    } yield Page("bench", k, p, Corpus.pageUrl(k, p, Corpus.bench), Corpus.pageBytes(k, p, Corpus.bench))
     val pages = micro ++ bench
 
     pages.zipWithIndex.foreach { case (pg, i) =>
-      Files.write(tmp.resolve(f"pg$i%05d.html"), pg.html.getBytes("UTF-8"))
+      Files.write(tmp.resolve(f"pg$i%05d.html"), pg.html)
     }
     val rc = new ProcessBuilder(harness.toAbsolutePath.toString, "--batch", tmp.toString)
       .inheritIO().start().waitFor()

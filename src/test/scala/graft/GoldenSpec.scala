@@ -92,7 +92,7 @@ class GoldenSpec extends AnyFunSuite {
       val (k, p, url) = (f(1).toInt, f(2).toInt, f(3))
       assert(Corpus.pageUrl(k, p, spec) == url, line.take(80))
       val expected = unescape(f(4))
-      val actual = GbXml.extractText(Corpus.pageHtml(k, p, spec).getBytes("UTF-8"))
+      val actual = GbXml.extractText(Corpus.pageBytes(k, p, spec))
       assert(actual == expected, s"extraction diverges from reference for $url")
     }
   }
