@@ -57,13 +57,13 @@ object SparkEntry {
     try src.getLines().toList finally src.close()
   }
 
-  /** One shared 5-iteration micro-corpus crawl per JVM — the real
+  /** One shared 7-iteration micro-corpus crawl per JVM — the real
     * frontier the driver-visible oracle queries read from. */
   @volatile private var crawlMemo: String = null
   private def crawlDir(s: SparkSession): String = synchronized {
     if (crawlMemo == null) {
       val w = java.nio.file.Files.createTempDirectory("graft_q_crawl").toString
-      Crawl.run(s, w, Corpus.micro, 5)
+      Crawl.run(s, w, Corpus.micro, 7)
       crawlMemo = w
     }
     crawlMemo
@@ -187,9 +187,9 @@ object SparkEntry {
         .select("iteration", "first_ip", "seq", "url", "priority", "err_code")
     }),
     "j2_seen_frontier" -> ((s, d) =>
-      Crawl.loadRequests(s, crawlDir(s), 5).select("uh48")),
+      Crawl.loadRequests(s, crawlDir(s), 7).select("uh48")),
     "a7_inlinks_frontier" -> ((s, d) =>
-      Crawl.loadInlinkState(s, crawlDir(s), 5).toDF()
+      Crawl.loadInlinkState(s, crawlDir(s), 7).toDF()
         .select(col("first_ip"), col("uh48"), size(col("cblocks")).as("n_cblocks"))),
 
     // ----- training-data ops: dedup

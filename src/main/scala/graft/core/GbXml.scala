@@ -532,6 +532,40 @@ object GbXml {
     nodes
   }
 
+  private lazy val TagRdf = tagIdByName("RDF:RDF")
+  private lazy val TagRss = tagIdByName("RSS")
+  private lazy val TagFeed = tagIdByName("FEED")
+  private lazy val TagChannel = tagIdByName("CHANNEL")
+  private lazy val TagItem = tagIdByName("ITEM")
+  private lazy val TagEntry: Int = tagIdByName.getOrElse("ENTRY", -1)
+
+  /** Xml::isRSSFeed (Xml.cpp:1012-1050): 0 = not a feed; 1 = rss/rdf;
+    * 6 = atom. An embedded rdf:RDF additionally needs a channel/item/
+    * entry node. */
+  def isRSSFeed(nodes: ArrayBuffer[Node]): Int = {
+    var tag = 0
+    var tpe = 0
+    var i = 0
+    while (i < nodes.length && tag == 0) {
+      val id = nodes(i).nodeId
+      if (id != TagTextNode) {
+        if (id == TagRdf) { tag = TagRdf; tpe = 1 }
+        if (id == TagRss) { tag = TagRss; tpe = 1 }
+        if (id == TagFeed) { tag = TagFeed; tpe = 6 }
+      }
+      i += 1
+    }
+    if (tag == 0) return 0
+    if (tag != TagRdf) return tpe
+    i = 0
+    while (i < nodes.length) {
+      val id = nodes(i).nodeId
+      if (id == TagChannel || id == TagItem || (TagEntry >= 0 && id == TagEntry)) return tpe
+      i += 1
+    }
+    0
+  }
+
   // -------------------------------------------------------------- getText
 
   /** Xml::getText (Xml.cpp:662-840), includeTags=false. Returns raw bytes. */

@@ -23,9 +23,17 @@ import graft.core.{GbHash, GbXml}
 object Corpus {
 
   final case class Spec(nHosts: Int, sectionsPerHost: Int, leavesPerSection: Int) {
-    def pagesPerHost: Int = 1 + sectionsPerHost + sectionsPerHost * leavesPerSection
+    // +1: every host has a /feed.xml page slot (RSS; only k≡5 (mod 8)
+    // hosts advertise it from their root, the rest are unreachable)
+    def pagesPerHost: Int = 1 + sectionsPerHost + sectionsPerHost * leavesPerSection + 1
+    def feedPage: Int = pagesPerHost - 1
     def totalPages: Long = nHosts.toLong * pagesPerHost
   }
+
+  /** Hosts k≡5 (mod 8) serve an RSS feed advertised from their root —
+    * exercises Xml::isRSSFeed reply truth, the ParentIsRSS request flag
+    * (priority-45/43 url-filter rows), and <link>-body harvesting. */
+  def hasFeed(k: Int): Boolean = k % 8 == 5
 
   val micro: Spec = Spec(8, 2, 3) // ~200 pages
   val small: Spec = Spec(256, 4, 4) // ~5k pages
@@ -43,9 +51,10 @@ object Corpus {
 
   def siteNumInlinks(k: Int): Int = if (k % 16 == 0) 9 else k % 8
 
-  /** page index within host: 0 = root, 1..S = sections, then leaves. */
+  /** page index within host: 0 = root, 1..S = sections, leaves, feed. */
   def pageUrl(k: Int, p: Int, spec: Spec): String = {
-    if (p == 0) s"http://${host(k)}/"
+    if (p == spec.feedPage) s"http://${host(k)}/feed.xml"
+    else if (p == 0) s"http://${host(k)}/"
     else if (p <= spec.sectionsPerHost) s"http://${host(k)}/s$p/"
     else {
       val li = p - spec.sectionsPerHost - 1
@@ -59,15 +68,29 @@ object Corpus {
     * charset tag (X7 coverage: the charset-detect + convert path runs on
     * real crawl pages, not just unit fixtures). */
   def isLatin1Page(k: Int, p: Int, spec: Spec): Boolean =
-    k % 8 == 6 && p > spec.sectionsPerHost
+    k % 8 == 6 && p > spec.sectionsPerHost && p != spec.feedPage
 
   /** Raw page bytes as served: latin1-encoded for latin1 pages. */
   def pageBytes(k: Int, p: Int, spec: Spec): Array[Byte] =
     if (isLatin1Page(k, p, spec)) pageHtml(k, p, spec).getBytes("ISO-8859-1")
     else pageHtml(k, p, spec).getBytes("UTF-8")
 
+  /** RSS 2.0 feed body: items link two leaves + a cross-host root. */
+  def feedXml(k: Int, spec: Spec): String = {
+    val sb = new StringBuilder(512)
+    sb.append(s"""<?xml version="1.0"?><rss version="2.0"><channel>""")
+    sb.append(s"<title>Host $k feed</title><link>http://${host(k)}/</link>")
+    sb.append(s"<item><title>entry 0</title><link>http://${host(k)}/s1/leaf0.html</link></item>")
+    if (spec.sectionsPerHost >= 2)
+      sb.append(s"<item><title>entry 1</title><link>http://${host(k)}/s2/leaf1.html</link></item>")
+    sb.append(s"<item><title>peer</title><link>http://${host((k + 3) % spec.nHosts)}/</link></item>")
+    sb.append("</channel></rss>")
+    sb.toString
+  }
+
   /** Deterministic html body with links. */
   def pageHtml(k: Int, p: Int, spec: Spec): String = {
+    if (p == spec.feedPage) return feedXml(k, spec)
     val sb = new StringBuilder(1024)
     val title = if (p == 0) s"Host $k home" else s"Host $k page $p"
     val meta = if (isLatin1Page(k, p, spec)) "<meta charset=iso-8859-1>" else ""
@@ -77,6 +100,8 @@ object Corpus {
     sb.append(s"Some entities: fish &amp; chips, caf&eacute;, x&nbsp;y.</p>")
     // nav: root links to sections; sections link to leaves; leaves link back
     if (p == 0) {
+      if (hasFeed(k))
+        sb.append("""<link rel="alternate" type="application/rss+xml" href="/feed.xml">""")
       for (s <- 1 to spec.sectionsPerHost) sb.append(s"""<a href="/s$s/">section $s</a> """)
       // cross-host links with Zipf-ish skew toward low-k hosts (hot hosts)
       val t1 = (k * 2 + 1) % spec.nHosts

@@ -420,7 +420,10 @@ object Crawl {
       contentHash32: Int,
       downloadEndMs: Long,
       outlinks: Seq[FrontierRequest],
-      extractedText: String
+      extractedText: String,
+      isRSS: Boolean = false,       // Xml::isRSSFeed on the parse
+      isPermalink: Boolean = false, // ::isPermalink (links-free shape)
+      isSiteMap: Boolean = false    // filename == sitemap.xml (getIsSiteMap)
   )
 
   /** S6+X5+X7-X12: fetch batch against the pages table, robots-gated,
@@ -490,6 +493,13 @@ object Crawl {
           val text = new String(GbXml.getTextBytes(norm, nodes), StandardCharsets.UTF_8)
           val contentHash = GbHash.hash32(text)
 
+          // reply-side truth (getNewSpiderReply inputs, XmlDoc.h:773):
+          // isRSS from the parse, isPermalink via the links-free
+          // ::isPermalink shape, isSiteMap from the filename
+          val pageIsRSS = GbXml.isRSSFeed(nodes) != 0
+          val pageIsPermalink = graft.core.GbPermalink.isPermalink(u, pageIsRSS)
+          val pageIsSiteMap = u.filename.equalsIgnoreCase("sitemap.xml") // getIsSiteMap (ct folded into the .xml name)
+
           // X11+X12: outlinks → SpiderRequests
           val harvest = task.ufn >= 0 && rules(task.ufn).harvestLinks
           val outs: Seq[FrontierRequest] = if (!harvest) Nil else {
@@ -522,6 +532,12 @@ object Crawl {
                   if (lu.domHash32 == u.domHash32) fl |= Flags.SameDom
                   if (lu.hostHash32 == u.hostHash32) fl |= Flags.SameHost
                   if (lu.hostHash32 == u.hostHash32) fl |= Flags.SameSite // site == host
+                  // parent-truth flags (XmlDoc.cpp:27469-27472) and the
+                  // url-format permalink guess (XmlDoc.cpp:27801-27804)
+                  if (pageIsRSS) fl |= Flags.ParentIsRSS
+                  if (pageIsSiteMap) fl |= Flags.ParentIsSiteMap
+                  if (pageIsPermalink) fl |= Flags.ParentIsPermalink
+                  if (graft.core.GbPermalink.isUrlPermalinkFormat(lu)) fl |= Flags.IsUrlPermalinkFormat
                   Some(FrontierRequest(
                     uh48 = lu.uh48,
                     first_ip = 0, // resolved by the host_meta join (resolveOutlinks)
@@ -543,7 +559,8 @@ object Crawl {
             }
           }
           FetchResult(task, found = true, allowed = true, cd, 200, Errs.OK,
-            if (plang == null) "en" else plang, contentHash, downloadEnd, outs, text)
+            if (plang == null) "en" else plang, contentHash, downloadEnd, outs, text,
+            isRSS = pageIsRSS, isPermalink = pageIsPermalink, isSiteMap = pageIsSiteMap)
         }
       }
   }
@@ -614,11 +631,26 @@ object Crawl {
       cfg.seenBuckets, cfg.expectedSeenPerBucket, cfg.bloomFpp)
   }
 
-  /** Build replies from fetch results. */
-  def repliesOf(results: Dataset[FetchResult], cfg: Config, iteration: Int): Dataset[FrontierReply] = {
-    import results.sparkSession.implicits._
+  /** Build replies from fetch results, carrying the reply-side analysis
+    * bits (getNewSpiderReply, XmlDoc.cpp:27140-27360): isRSS/isPermalink/
+    * isIndexed flags and percentChangedPerDay against the previous reply.
+    * The reference's percentChanged is a term-level diff of old vs new
+    * doc; with only content hashes persisted this engine approximates it
+    * as 0 (hash equal) / 100 (hash changed), then applies the exact
+    * formula — including its quirk that `numDays` is actually SECONDS
+    * (`float numDays = spideredTime - oldSpideredTime`,
+    * XmlDoc.cpp:27195-27198). */
+  def repliesOf(results: Dataset[FetchResult],
+                priorReplies: Dataset[FrontierReply],
+                cfg: Config, iteration: Int): Dataset[FrontierReply] = {
+    val spark = results.sparkSession
+    import spark.implicits._
     val now = nowSecs(cfg, iteration)
-    results.map { r =>
+    val fresh = results.map { r =>
+      var fl = 0L
+      if (r.isRSS) fl |= Flags.RepIsRSS
+      if (r.isPermalink) fl |= Flags.RepIsPermalink
+      if (r.errCode == Errs.OK) fl |= Flags.RepIsIndexed
       FrontierReply(
         uh48 = r.task.uh48,
         first_ip = r.task.first_ip,
@@ -630,10 +662,24 @@ object Crawl {
         lang = r.lang,
         content_hash32 = r.contentHash32,
         percent_changed_per_day = 0f,
-        flags = 0L,
+        flags = fl,
         err_count = if (r.errCode != 0 && UrlFilters.tmpErrors.contains(r.errCode)) 1 else 0
       )
     }
+    // percentChangedPerDay: only when an indexed old doc exists (od)
+    val old = latestReplies(priorReplies)
+      .filter(r => r.err_code == Errs.OK && r.spidered_time > 0)
+      .map(r => (r.first_ip, r.uh48, r.spidered_time, r.content_hash32))
+      .toDF("o_ip", "o_uh48", "o_time", "o_hash")
+    fresh.toDF()
+      .join(old, col("first_ip") === col("o_ip") && col("uh48") === col("o_uh48"), "left_outer")
+      .withColumn("percent_changed_per_day",
+        when(col("o_time").isNotNull && col("err_code") === Errs.OK,
+          (when(col("content_hash32") === col("o_hash"), lit(0.0f)).otherwise(lit(100.0f)) + lit(0.5f)) /
+            (col("spidered_time") - col("o_time")).cast("float"))
+          .otherwise(lit(0.0f)).cast("float"))
+      .drop("o_ip", "o_uh48", "o_time", "o_hash")
+      .as[FrontierReply]
   }
 
   // ------------------------------------------------------------ snapshots
@@ -729,18 +775,25 @@ object Crawl {
     val results = fetch(batch, pages, robots, cfg, i)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // one aggregation pass for all outcome counters
-    val stats = results
-      .select(col("errCode"), size(col("outlinks")).as("n_out"))
-      .groupBy("errCode").agg(count(lit(1)).as("n"), sum("n_out").as("outs"))
-      .collect()
-      .map(r => (r.getInt(0), (r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2))))
-      .toMap
-    val scheduled = stats.values.map(_._1).sum
-    val fetched = stats.getOrElse(Errs.OK, (0L, 0L))._1
-    val robotsDenied = stats.getOrElse(Errs.EDOCDISALLOWED, (0L, 0L))._1
+    // STAGE 1 (job 1): fetch_log write with the outcome counters FUSED
+    // into the same job via observe() — no separate stats pass
+    val obsLog = org.apache.spark.sql.Observation()
+    results
+      .map(r => (i, r.task.first_ip, r.task.seq_in_ip, r.task.url, r.task.priority, r.errCode, r.outlinks.size))
+      .toDF("iteration", "first_ip", "seq", "url", "priority", "err_code", "n_out")
+      .observe(obsLog,
+        count(lit(1)).as("scheduled"),
+        sum(when(col("err_code") === lit(Errs.OK), 1L).otherwise(0L)).as("fetched"),
+        sum(when(col("err_code") === lit(Errs.EDOCDISALLOWED), 1L).otherwise(0L)).as("robots_denied"),
+        coalesce(sum(col("n_out").cast("long")), lit(0L)).as("outs"))
+      .drop("n_out")
+      .write.mode("overwrite").parquet(s"$d/fetch_log")
+    val mLog = obsLog.get
+    val scheduled = mLog("scheduled").asInstanceOf[Long]
+    val fetched = Option(mLog("fetched")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val robotsDenied = Option(mLog("robots_denied")).map(_.asInstanceOf[Long]).getOrElse(0L)
     val errors = scheduled - fetched - robotsDenied
-    val outlinkTotal = stats.values.map(_._2).sum
+    val outlinkTotal = Option(mLog("outs")).map(_.asInstanceOf[Long]).getOrElse(0L)
 
     // J5: resolve outlink hosts via the host_meta join, then drop those
     // landing on overflowed IPs (A8)
@@ -752,23 +805,29 @@ object Crawl {
 
     val bloomTable = loadBloom(spark, workdir, i - 1, cfg)
     val fresh = admitNew(candidates, requests, bloomTable, cfg)
-      // also dedup within the batch itself (J4): keep min hop per uh48
+      // within-batch dedup (J4) with the same merge semantics as the
+      // reference's scan-time duplicate merge (Spider.cpp:4799-4836):
+      // min hop/discovery, OR of flags (a ParentIsRSS discovery must
+      // survive a same-batch section discovery of the same url), max
+      // sni/errors; base row picked deterministically
       .groupByKey(_.uh48).reduceGroups { (a, b) =>
-        if (a.hop_count != b.hop_count) { if (a.hop_count < b.hop_count) a else b }
-        else if (a.added_time <= b.added_time) a else b
+        val base =
+          if (a.added_time != b.added_time) { if (a.added_time > b.added_time) a else b }
+          else if (a.parent_doc_id <= b.parent_doc_id) a else b
+        base.copy(
+          hop_count = math.min(a.hop_count, b.hop_count),
+          discovery_time = math.min(a.discovery_time, b.discovery_time),
+          flags = a.flags | b.flags,
+          site_num_inlinks = math.max(a.site_num_inlinks, b.site_num_inlinks),
+          err_count = math.max(a.err_count, b.err_count))
       }.map(_._2)
 
-    // append-only deltas: an iteration never rewrites the frontier —
-    // `hadReply`/`isnew` is derived from the J1 reply join at schedule time
-    fresh.write.mode("overwrite").parquet(s"$d/requests_delta")
-    repliesOf(results, cfg, i).write.mode("overwrite").parquet(s"$d/replies_delta")
-    val newUrls = spark.read.parquet(s"$d/requests_delta").count() // metadata count
-
-    // incremental seen-bloom maintenance: only touched buckets rewritten
-    SeenBloom.update(bloomTable,
-      spark.read.parquet(s"$d/requests_delta").select("uh48").as[java.lang.Long],
-      cfg.seenBuckets, cfg.expectedSeenPerBucket, cfg.bloomFpp)
-      .write.mode("overwrite").parquet(s"$d/seen_bloom")
+    // STAGE 2 (job 2): the requests delta, with its row count observed
+    // in the same job (was a separate re-read+count)
+    val obsNew = org.apache.spark.sql.Observation()
+    fresh.toDF().observe(obsNew, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$d/requests_delta")
+    val newUrls = obsNew.get("n").asInstanceOf[Long]
 
     // politeness state update: last download end per IP; crawl delay per dom
     val ipUpdates = results.groupByKey(_.task.first_ip)
@@ -788,8 +847,6 @@ object Crawl {
       .agg(max(struct(col("stamp"), col("crawl_delay_ms"))).as("s"))
       .select(col("dom_hash32"), col("s.crawl_delay_ms").as("crawl_delay_ms"))
       .as[DomState]
-    mergedIp.write.mode("overwrite").parquet(s"$d/ip_state")
-    mergedDom.write.mode("overwrite").parquet(s"$d/dom_state")
 
     // A7: inlink c-block accumulation — every outlink DISCOVERY counts
     // (pre-admission, like the reference's spiderdb request rows), except
@@ -806,17 +863,37 @@ object Crawl {
       .groupBy("first_ip", "uh48")
       .agg(slice(sort_array(collect_set(col("cblock"))), 1, 20).as("cblocks"))
       .as[InlinkState]
-    mergedInl.write.mode("overwrite").parquet(s"$d/inlink_state")
 
-    // crawl-order log: (iteration, first_ip, seq, url) — the golden order
-    results.map(r => (i, r.task.first_ip, r.task.seq_in_ip, r.task.url, r.task.priority, r.errCode))
-      .toDF("iteration", "first_ip", "seq", "url", "priority", "err_code")
-      .write.mode("overwrite").parquet(s"$d/fetch_log")
+    // STAGE 3: the five remaining snapshot outputs are independent of
+    // each other — submit them as CONCURRENT Spark jobs (results is
+    // persisted, the session scheduler interleaves them) instead of five
+    // sequential driver round-trips. Per-iteration fixed cost is the
+    // full-loop bottleneck at small batch sizes (VERDICT r1).
+    {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val writes = Seq(
+        Future { repliesOf(results, replies, cfg, i).write.mode("overwrite").parquet(s"$d/replies_delta") },
+        Future {
+          // incremental seen-bloom maintenance: only touched buckets
+          // rewritten, fed from the just-written (tiny) delta
+          SeenBloom.update(bloomTable,
+            spark.read.parquet(s"$d/requests_delta").select("uh48").as[java.lang.Long],
+            cfg.seenBuckets, cfg.expectedSeenPerBucket, cfg.bloomFpp)
+            .write.mode("overwrite").parquet(s"$d/seen_bloom")
+        },
+        Future { mergedIp.write.mode("overwrite").parquet(s"$d/ip_state") },
+        Future { mergedDom.write.mode("overwrite").parquet(s"$d/dom_state") },
+        Future { mergedInl.write.mode("overwrite").parquet(s"$d/inlink_state") }
+      )
+      Await.result(Future.sequence(writes), Duration.Inf)
+    }
 
     val wall = System.currentTimeMillis() - t0
     val metrics = Seq(MetricsRow(i, 0, scheduled, fetched, robotsDenied, errors, newUrls,
       outlinkTotal - newUrls, 0, wall))
-    spark.createDataset(metrics).write.mode("overwrite").parquet(s"$d/metrics")
+    // lineage/counters live in MANIFEST.json (no one-row parquet job)
     writeManifest(workdir, i, metrics)
     resolved.unpersist()
     results.unpersist()
