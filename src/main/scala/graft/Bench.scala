@@ -61,9 +61,18 @@ object Bench {
     })
   }
 
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0
+    else if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+  }
+
   /** Scheduler kernel: urls-scheduled/sec over a big frontier. A warmup
     * run (quarter size) first, so JIT + whole-stage-codegen compilation
-    * don't pollute the scaling comparison. */
+    * don't pollute the scaling comparison. Returns the MEDIAN rep (VM
+    * noise is 2-4×; best-of-N cherry-picks and does not reproduce under
+    * the driver — VERDICT r1 #8). */
   private def scheduleKernel(cpus: Int, n: Long, urlsPerIp: Int, reps: Int = 3): (Double, Long, Double) = {
     val spark = newSession(cpus)
     import spark.implicits._
@@ -78,7 +87,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     once(n / 4) // warmup (JIT + codegen)
-    val secs = (1 to reps).map(_ => once(n)).min // best-of-N (shared VM noise)
+    val secs = median((1 to reps).map(_ => once(n)))
     spark.stop()
     // throughput counts frontier urls EVALUATED per sec (the scan+score+
     // window over all n), which is the real per-iteration work unit
@@ -97,7 +106,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     once(Corpus.pages(spark, Corpus.small)) // warmup (JIT + codegen)
-    val secs = (1 to reps).map(_ => once(pages)).min
+    val secs = median((1 to reps).map(_ => once(pages)))
     spark.stop()
     (spec.totalPages / secs, nOk, secs)
   }
@@ -141,24 +150,34 @@ object Bench {
     val lo = 2
     val hi = 8
     val frontierN = sys.env.getOrElse("SPARK_GRAFT_BENCH_FRONTIER", "16000000").toLong
-    // interleave lo/hi sessions to control for time-varying host load
-    val schedLoRuns = Seq(scheduleKernel(lo, frontierN, 40, 2), scheduleKernel(lo, frontierN, 40, 2))
-    val schedHiRuns = Seq(scheduleKernel(hi, frontierN, 40, 2), scheduleKernel(hi, frontierN, 40, 2))
-    val (loSchedRate, loSchedSecs) = (schedLoRuns.map(_._1).max, schedLoRuns.map(_._3).min)
-    val (hiSchedRate, hiSchedSecs) = (schedHiRuns.map(_._1).max, schedHiRuns.map(_._3).min)
-    val hiScheduled = schedHiRuns.head._2
-    val schedEff = (hiSchedRate / loSchedRate) / (hi.toDouble / lo)
+    val pairsN = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "3").toInt
+
+    // Each (lo, hi) session pair runs back-to-back so slow drift in host
+    // load cancels inside the ratio; efficiency = MEDIAN of the per-pair
+    // ratios; rates = median across pairs. Nothing is best-of-N.
+    val schedPairs = (1 to pairsN).map { _ =>
+      (scheduleKernel(lo, frontierN, 40, 2), scheduleKernel(hi, frontierN, 40, 2))
+    }
+    val loSchedRate = median(schedPairs.map(_._1._1))
+    val hiSchedRate = median(schedPairs.map(_._2._1))
+    val loSchedSecs = median(schedPairs.map(_._1._3))
+    val hiSchedSecs = median(schedPairs.map(_._2._3))
+    val hiScheduled = schedPairs.head._2._2
+    val schedEff = median(schedPairs.map(p => (p._2._1 / p._1._1) / (hi.toDouble / lo)))
     val (maxSchedRate, _, _) = scheduleKernel(math.max(cpus, 16), frontierN * 4, 40)
 
-    val exLoRuns = Seq(extractKernel(lo, Corpus.bench, 2), extractKernel(lo, Corpus.bench, 2))
-    val exHiRuns = Seq(extractKernel(hi, Corpus.bench, 2), extractKernel(hi, Corpus.bench, 2))
-    val (loExRate, loExSecs) = (exLoRuns.map(_._1).max, exLoRuns.map(_._3).min)
-    val (hiExRate, hiExSecs) = (exHiRuns.map(_._1).max, exHiRuns.map(_._3).min)
-    val exOk = exHiRuns.head._2
-    val exEff = (hiExRate / loExRate) / (hi.toDouble / lo)
+    val exPairs = (1 to pairsN).map { _ =>
+      (extractKernel(lo, Corpus.bench, 2), extractKernel(hi, Corpus.bench, 2))
+    }
+    val loExRate = median(exPairs.map(_._1._1))
+    val hiExRate = median(exPairs.map(_._2._1))
+    val loExSecs = median(exPairs.map(_._1._3))
+    val hiExSecs = median(exPairs.map(_._2._3))
+    val exOk = exPairs.head._2._2
+    val exEff = median(exPairs.map(p => (p._2._1 / p._1._1) / (hi.toDouble / lo)))
     val (maxExRate, _, _) = extractKernel(math.max(cpus, 16), Corpus.bench)
 
-    // phase 3: full loop
+    // phase 3: full loop (includes all per-iteration fixed costs)
     val iters = 6
     val (loLoopSched, loLoopFetched, loUrls, loLoopSecs) = crawlLoop(lo, iters)
     val (hiLoopSched, hiLoopFetched, hiUrls, hiLoopSecs) = crawlLoop(hi, iters)

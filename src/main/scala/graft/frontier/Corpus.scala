@@ -102,6 +102,11 @@ object Corpus {
     if (p == 0) {
       if (hasFeed(k))
         sb.append("""<link rel="alternate" type="application/rss+xml" href="/feed.xml">""")
+      if (k % 8 == 7) {
+        sb.append(s"""<a href="/old/page.html">old</a> """)
+        sb.append(s"""<a href="/moved.html">moved</a> """)
+        sb.append(s"""<a href="/loop.html">loop</a> """)
+      }
       for (s <- 1 to spec.sectionsPerHost) sb.append(s"""<a href="/s$s/">section $s</a> """)
       // cross-host links with Zipf-ish skew toward low-k hosts (hot hosts)
       val t1 = (k * 2 + 1) % spec.nHosts
@@ -163,6 +168,25 @@ object Corpus {
     import spark.implicits._
     spark.range(spec.nHosts).map { k =>
       HostMeta(host(k.toInt), firstIp(k.toInt, spec.nHosts), siteNumInlinks(k.toInt))
+    }
+  }
+
+  /** Redirect fixtures (X17/redirect coverage): hosts k≡7 (mod 8) serve
+    *  - /old/page.html → /s1/            (simplified: shorter path depth
+    *    → EDOCSIMPLIFIEDREDIR, target re-queued with the hop kept)
+    *  - /moved.html    → /s1/leaf0.html  (NOT simplified: deeper target
+    *    → followed through, content fetched under the original url)
+    *  - /loop.html     → /loop.html      (EDOCREDIRECTSTOSELF)
+    * Roots of those hosts link all three. */
+  def redirects(spark: SparkSession, spec: Spec): Dataset[RedirectRow] = {
+    import spark.implicits._
+    spark.range(spec.nHosts).flatMap { kL =>
+      val k = kL.toInt
+      if (k % 8 == 7) Seq(
+        RedirectRow(s"http://${host(k)}/old/page.html", "/s1/"),
+        RedirectRow(s"http://${host(k)}/moved.html", "/s1/leaf0.html"),
+        RedirectRow(s"http://${host(k)}/loop.html", s"http://${host(k)}/loop.html"))
+      else Nil
     }
   }
 

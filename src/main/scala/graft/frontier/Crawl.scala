@@ -440,32 +440,53 @@ object Crawl {
             pages: Dataset[PageRow],
             robots: Dataset[RobotsRow],
             cfg: Config,
-            iteration: Int): Dataset[FetchResult] = {
+            iteration: Int,
+            redirClosure: DataFrame = null): Dataset[FetchResult] = {
     val spark = batch.sparkSession
     import spark.implicits._
     val now = nowSecs(cfg, iteration)
     val nowMillis = nowMs(cfg, iteration)
     val rules = cfg.rules
 
-    val withHost = batch.withColumn("host", graft.functions.GraftFunctions.urlHost(col("url")))
+    // resolve redirects first (precomputed closure, see redirectClosure):
+    // the CONTENT fetch and the robots gate apply to the final url
+    val withRedir = Option(redirClosure) match {
+      case Some(rc) =>
+        batch.join(rc, col("url") === col("redir_url"), "left_outer")
+          .withColumn("redir_err", coalesce(col("redir_err"), lit(0)))
+          .withColumn("eff_url",
+            when(col("redir_err") === 0, coalesce(col("redir_final"), col("url")))
+              .otherwise(col("url")))
+          .drop("redir_url")
+      case None =>
+        batch.toDF().withColumn("redir_err", lit(0))
+          .withColumn("redir_final", lit(null).cast("string"))
+          .withColumn("eff_url", col("url"))
+    }
+
+    val withHost = withRedir.withColumn("host", graft.functions.GraftFunctions.urlHost(col("eff_url")))
 
     val joined = withHost
       .join(robots.toDF().withColumnRenamed("host", "rhost"), col("host") === col("rhost"), "left_outer")
-      .join(pages.toDF().select(col("url").as("purl"), col("html"), col("lang").as("plang")), col("url") === col("purl"), "left_outer")
+      .join(pages.toDF().select(col("url").as("purl"), col("html"), col("lang").as("plang")), col("eff_url") === col("purl"), "left_outer")
       .select(
         struct(col("uh48"), col("first_ip"), col("url"), col("priority"), col("ufn"),
           col("spider_time_ms"), col("hop_count"), col("seq_in_ip")).as("task").as[FetchTask],
         col("body").as[Array[Byte]],
         col("html").as[Array[Byte]],
-        col("plang").as[String]
+        col("plang").as[String],
+        struct(col("redir_err"), col("redir_final")).as[(Int, String)]
       )
 
     val ua = cfg.userAgent
 
     joined
       .repartition(col("task.first_ip"))
-      .map { case (task, robotsBody, html, plang) =>
-        val u = GbUrl.parse(task.url)
+      .map { case (task, robotsBody, html, plang, (redirErr, redirFinal)) =>
+        // parse the EFFECTIVE url: content/links/robots are evaluated at
+        // the redirect target (the reference's current url after follows)
+        val effUrl = if (redirErr == 0 && redirFinal != null) redirFinal else task.url
+        val u = GbUrl.parse(effUrl)
         val pathCgi = if (u.isValid) u.url.substring(u.pathOff) else "/"
         val (allowed, robotsDelay) =
           if (robotsBody == null) (true, -1)
@@ -476,11 +497,35 @@ object Crawl {
         val spacing = math.max(cd.toLong, ipWait.toLong)
         val downloadEnd = nowMillis + (task.seq_in_ip + 1).toLong * spacing
 
-        if (!allowed) {
+        if (redirErr == Errs.EDOCSIMPLIFIEDREDIR) {
+          // don't index; re-queue the simpler target KEEPING the parent
+          // hop count (XmlDoc.cpp:27758-27767 EDOCSIMPLIFIEDREDIR case;
+          // getLinks treats the redir url as a link)
+          val lu = GbUrl.parse(redirFinal)
+          val requeue =
+            if (!lu.isValid || lu.uh48 == task.uh48) Nil
+            else {
+              val ext = lu.extension.toLowerCase
+              var fl = Flags.IsNewOutlink
+              if (ext == "rss" || ext == "xml" || ext == "atom") fl |= Flags.IsRSSExt
+              if (lu.hasMediaExtension) fl |= Flags.HasMediaExtension
+              if (lu.isPingServer) fl |= Flags.IsPingServer
+              if (lu.isSimpleSubdomain) fl |= Flags.IsWWWSubdomain
+              if (graft.core.GbPermalink.isUrlPermalinkFormat(lu)) fl |= Flags.IsUrlPermalinkFormat
+              Seq(FrontierRequest(lu.uh48, 0, lu.url, lu.hostHash32, lu.domHash32,
+                lu.hostHash32, -1, now, now, task.hop_count, // hop KEPT
+                if (plang == null) "" else plang, fl, 0, task.uh48 & GbHash.DocIdMask))
+            }
+          FetchResult(task, found = false, allowed = allowed, cd, 301, redirErr,
+            "", 0, downloadEnd, requeue, "")
+        } else if (redirErr != 0) {
+          FetchResult(task, found = false, allowed = allowed, cd, 301, redirErr,
+            "", 0, downloadEnd, Nil, "")
+        } else if (!allowed) {
           FetchResult(task, found = false, allowed = false, cd, 403, Errs.EDOCDISALLOWED,
             "", 0, downloadEnd, Nil, "")
         } else if (html == null) {
-          FetchResult(task, found = false, allowed = true, cd, 404, Errs.EDOCNOTFOUND,
+          FetchResult(task, found = false, allowed = true, cd, 404, Errs.EDOCBADHTTPSTATUS,
             "", 0, downloadEnd, Nil, "")
         } else {
           // X7-X10: the byte-exact extraction pipeline (charset → UTF-8
@@ -563,6 +608,88 @@ object Crawl {
             isRSS = pageIsRSS, isPermalink = pageIsPermalink, isSiteMap = pageIsSiteMap)
         }
       }
+  }
+
+  // ---------------------------------------------------------- redirects
+
+  /** Url::getPathDepth(countFilename) (Url.cpp:1076-1084): '/'-count
+    * from path+1 to the END OF THE URL (query included), +1 if the url
+    * does not end in '/'. */
+  private def pathDepthRef(u: GbUrl, countFilename: Boolean): Int = {
+    var n = 0
+    var i = u.pathOff + 1
+    while (i < u.url.length) { if (u.url.charAt(i) == '/') n += 1; i += 1 }
+    if (countFilename && u.url.nonEmpty && u.url.last != '/') n += 1
+    n
+  }
+
+  @inline private def isHostWWW(u: GbUrl): Boolean =
+    u.hostLen >= 4 && u.url.startsWith("www.", u.hostOff)
+
+  /** The simplified-redirect test (XmlDoc.cpp:11688-11724): loc is a
+    * "simpler" url than the FIRST url → stop spidering this url and
+    * re-queue loc instead (EDOCSIMPLIFIEDREDIR). */
+  def isSimplifiedRedirect(f: GbUrl, loc: GbUrl): Boolean = {
+    var s = false
+    if (pathDepthRef(loc, countFilename = true) < pathDepthRef(f, countFilename = true)) s = true
+    if (f.isCgi && !loc.isCgi) s = true
+    if (loc.url.length == f.url.length + 1 && loc.url.last == '/' && loc.url.startsWith(f.url)) s = true
+    if (f.url.contains(';') && !loc.url.contains(';')) s = true
+    if (isHostWWW(loc) && !isHostWWW(f)) s = true
+    if (!loc.domain.equalsIgnoreCase(f.domain) && !f.isRoot) s = true
+    s
+  }
+
+  /** Precomputed redirect resolution (the Msg13 follow loop +
+    * XmlDoc::getRedirUrl decisions, XmlDoc.cpp:11341-11790): for every
+    * url in the redirects table, walk the chain and classify —
+    *   err=0, final_url      → content fetched through the chain
+    *   EDOCSIMPLIFIEDREDIR   → don't index; re-queue `final_url` (the
+    *                           simpler target) KEEPING the parent hop
+    *   EDOCREDIRECTSTOSELF / EDOCTOOMANYREDIRECTS / EDOCBADREDIRECTURL
+    * Distributed (unrolled self-joins over the small dim table),
+    * computed once per run. */
+  def redirectClosure(redirects: Dataset[RedirectRow]): DataFrame = {
+    val spark = redirects.sparkSession
+    import spark.implicits._
+    val r = redirects.toDF().select(col("url").as("r_u"), col("location").as("r_loc"))
+    // state: (start, cur, err, done, hops)
+    var st = redirects.toDF()
+      .select(col("url").as("start"), col("url").as("cur"),
+        lit(0).as("err"), lit(false).as("done"), lit(0).as("hops"))
+    for (_ <- 1 to 10) {
+      st = st.join(r, col("cur") === col("r_u"), "left_outer")
+        .select(col("start").as[String], col("cur").as[String],
+          struct(col("err"), col("done"), col("hops")).as[(Int, Boolean, Int)],
+          col("r_loc").as[String])
+        .map { case (start, cur, (err, done, hops), locRaw) =>
+          if (done || err != 0) (start, cur, err, true, hops)
+          else if (locRaw == null) (start, cur, 0, true, hops)
+          else {
+            val loc = GbUrl.parseRel(GbUrl.parse(cur), locRaw)
+            val protoOk = !locRaw.contains("://") ||
+              locRaw.startsWith("http://") || locRaw.startsWith("https://")
+            if (!loc.isValid || loc.domLen <= 0 || !protoOk)
+              (start, cur, Errs.EDOCBADREDIRECTURL, true, hops)
+            else if (loc.url == cur)
+              (start, cur, Errs.EDOCREDIRECTSTOSELF, true, hops)
+            else if (hops + 1 >= 10)
+              (start, cur, Errs.EDOCTOOMANYREDIRECTS, true, hops)
+            else {
+              val curU = GbUrl.parse(cur)
+              // cross-domain hop: follow without the simplified test
+              // (XmlDoc.cpp:11633-11641 returns the redir url early)
+              if (!loc.domain.equalsIgnoreCase(curU.domain))
+                (start, loc.url, 0, false, hops + 1)
+              else if (isSimplifiedRedirect(GbUrl.parse(start), loc))
+                (start, loc.url, Errs.EDOCSIMPLIFIEDREDIR, true, hops + 1)
+              else (start, loc.url, 0, false, hops + 1)
+            }
+          }
+        }
+        .toDF("start", "cur", "err", "done", "hops")
+    }
+    st.select(col("start").as("redir_url"), col("cur").as("redir_final"), col("err").as("redir_err"))
   }
 
   /** J5: batch host→(firstIp, siteNumInlinks) resolution as a JOIN on
@@ -755,7 +882,8 @@ object Crawl {
     * snapshot i (request/reply DELTAS — O(new data), not O(frontier)). */
   def runIteration(spark: SparkSession, workdir: String, i: Int,
                    pages: Dataset[PageRow], robots: Dataset[RobotsRow],
-                   hostMeta: Dataset[HostMeta], cfg: Config): IterationResult = {
+                   hostMeta: Dataset[HostMeta], cfg: Config,
+                   redirClosure: DataFrame = null): IterationResult = {
     import spark.implicits._
     val prev = snapDir(workdir, i - 1)
     val requests = loadRequests(spark, workdir, i - 1)
@@ -772,7 +900,7 @@ object Crawl {
       .filter(col("count") > cfg.overflowCap).select("first_ip")
 
     val batch = schedule(requests, replies, ipState, domState, cfg, i, inlinks)
-    val results = fetch(batch, pages, robots, cfg, i)
+    val results = fetch(batch, pages, robots, cfg, i, redirClosure)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // STAGE 1 (job 1): fetch_log write with the outcome counters FUSED
@@ -1006,16 +1134,20 @@ object Crawl {
     val pages = Corpus.pages(spark, spec).persist(StorageLevel.MEMORY_AND_DISK)
     val robots = Corpus.robots(spark, spec)
     val hostMeta = Corpus.hostMeta(spark, spec)
+    // redirect chains resolve ONCE per run (dim-table closure)
+    val redirClosure = redirectClosure(Corpus.redirects(spark, spec))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val start = latestSnapshot(workdir) match {
       case None =>
         init(spark, workdir, if (seedUrls.nonEmpty) seedUrls else Corpus.seeds(spec), cfg); 1
       case Some(n) => n + 1
     }
     val out = (start until start + iterations).map { i =>
-      val r = runIteration(spark, workdir, i, pages, robots, hostMeta, cfg)
+      val r = runIteration(spark, workdir, i, pages, robots, hostMeta, cfg, redirClosure)
       if (i % compactEvery == 0) compact(spark, workdir, i, cfg)
       r
     }
+    redirClosure.unpersist()
     pages.unpersist()
     out
   }

@@ -54,6 +54,9 @@ final case class HostMeta(host: String, first_ip: Int, site_num_inlinks: Int)
 
 final case class RobotsRow(host: String, body: Array[Byte])
 
+/** Sandbox stand-in for HTTP 30x responses: url → Location header. */
+final case class RedirectRow(url: String, location: String)
+
 /** One frontier request row ≅ SpiderRequest. */
 final case class FrontierRequest(
     uh48: Long,
@@ -136,11 +139,15 @@ final case class MetricsRow(
     wall_ms: Long
 )
 
-/** Error codes used by the engine (reference Errno.h values where they
-  * gate behavior; see rules.UrlFilters.tmpErrors). */
+/** Error codes used by the engine — values probed from the reference's
+  * GbErrno.h enum by compiling it (see rules.UrlFilters.tmpErrors). */
 object Errs {
   val OK = 0
-  val EDOCDISALLOWED = 32880 // robots.txt denied (XmlDoc.cpp:4389-4397)
-  val EDOCNOTFOUND = 32771 // page absent from the pages table (sandbox 404)
+  val EDOCDISALLOWED = 32828 // robots.txt denied (XmlDoc.cpp:4389-4397)
+  val EDOCBADHTTPSTATUS = 32813 // 4xx/5xx (sandbox: page absent → 404)
+  val EDOCREDIRECTSTOSELF = 32814
+  val EDOCTOOMANYREDIRECTS = 32815
+  val EDOCSIMPLIFIEDREDIR = 32816
+  val EDOCBADREDIRECTURL = 32817
   val EDNSTIMEDOUT: Int = graft.rules.UrlFilters.EDNSTIMEDOUT
 }

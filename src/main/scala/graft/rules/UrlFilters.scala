@@ -81,13 +81,14 @@ final case class UfnReply(
 object UrlFilters {
 
   /** Error codes that count as "temporary" (Spider.cpp:11878-11932).
-    * Values from the reference's error enumeration; the diffbot-specific
-    * codes are omitted (no diffbot subsystem here). */
-  val EDNSTIMEDOUT = 32769 + 35
-  val ETCPTIMEDOUT = 32769 + 36
-  val EDNSDEAD = 32769 + 37
-  val EBADIP = 32769 + 62
-  val ENOMEM = 12 // ENOMEM errno
+    * Values probed from the reference's GbErrno.h enum by compiling it
+    * (refharness toolchain) — the round-1 hand-computed offsets were
+    * wrong. Diffbot-specific codes omitted (no diffbot subsystem). */
+  val EDNSTIMEDOUT = 32858
+  val ETCPTIMEDOUT = 32846
+  val EDNSDEAD = 32857
+  val EBADIP = 32853
+  val ENOMEM = 12 // errno
   val ENETUNREACH = 101
   val EHOSTUNREACH = 113
   val tmpErrors: Set[Int] =
