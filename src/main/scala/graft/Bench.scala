@@ -98,7 +98,9 @@ object Bench {
   private def extractKernel(cpus: Int, spec: Corpus.Spec, reps: Int = 3): (Double, Long, Double) = {
     val spark = newSession(cpus)
     import spark.implicits._
-    val pages = Corpus.pages(spark, spec)
+    // two copies: a single pass at 2 cores is only ~3 s, too short to
+    // amortize job fixed costs out of the scaling ratio
+    val pages = Corpus.pages(spark, spec).union(Corpus.pages(spark, spec))
     var nOk = 0L
     def once(ds: org.apache.spark.sql.Dataset[PageRow]): Double = {
       val t0 = System.nanoTime()
@@ -108,7 +110,7 @@ object Bench {
     once(Corpus.pages(spark, Corpus.small)) // warmup (JIT + codegen)
     val secs = median((1 to reps).map(_ => once(pages)))
     spark.stop()
-    (spec.totalPages / secs, nOk, secs)
+    (2L * spec.totalPages / secs, nOk, secs)
   }
 
   /** Full crawl loop at a given parallelism. */
@@ -116,7 +118,10 @@ object Bench {
     val spark = newSession(cpus)
     val work = Files.createTempDirectory(s"graft_bench_$cpus").toString
     val spec = Corpus.small
-    val cfg = Crawl.Config(clockStepMs = 60000L)
+    // bloom sizing matched to the corpus (64 buckets x 200k-expected is
+    // the 10^10 default; writing 11MB of bloom per tiny iteration would
+    // measure nothing but bloom I/O)
+    val cfg = Crawl.Config(clockStepMs = 60000L, seenBuckets = 8, expectedSeenPerBucket = 20000L)
     val allRoots = (0 until spec.nHosts).map(k => s"http://${Corpus.host(k)}/")
     val t0 = System.nanoTime()
     val results = Crawl.run(spark, work, spec, iterations, cfg, seedUrls = allRoots)
@@ -149,8 +154,8 @@ object Bench {
     // run is reported as absolute throughput.
     val lo = 2
     val hi = 8
-    val frontierN = sys.env.getOrElse("SPARK_GRAFT_BENCH_FRONTIER", "16000000").toLong
-    val pairsN = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "3").toInt
+    val frontierN = sys.env.getOrElse("SPARK_GRAFT_BENCH_FRONTIER", "32000000").toLong
+    val pairsN = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "2").toInt
 
     // Each (lo, hi) session pair runs back-to-back so slow drift in host
     // load cancels inside the ratio; efficiency = MEDIAN of the per-pair

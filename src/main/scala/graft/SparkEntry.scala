@@ -191,6 +191,9 @@ object SparkEntry {
     "a7_inlinks_frontier" -> ((s, d) =>
       Crawl.loadInlinkState(s, crawlDir(s), 7).toDF()
         .select(col("first_ip"), col("uh48"), size(col("cblocks")).as("n_cblocks"))),
+    "s7_titledb" -> ((s, d) =>
+      Crawl.loadTitledb(s, crawlDir(s), 7).toDF()
+        .select(col("uh48"), col("url"), col("http_status"), col("content_hash32"))),
 
     // ----- training-data ops: dedup
     "dedup_exact" -> ((s, d) => TextOps.exactDupCounts(read(s, d, "documents"))),
@@ -274,6 +277,9 @@ object SparkEntry {
       "SELECT CAST(first_ip AS INTEGER) AS first_ip, CAST(uh48 AS BIGINT) AS uh48, " +
         s"CAST(n_cblocks AS INTEGER) AS n_cblocks FROM (VALUES ${rows.mkString(",")}) AS t(first_ip, uh48, n_cblocks)"
     },
+    "s7_titledb" -> valuesOracle("titledb.tsv",
+      Seq(("uh48", "BIGINT", false), ("url", "VARCHAR", true),
+        ("http_status", "INTEGER", false), ("content_hash32", "INTEGER", false))),
     "q1_lineitem_agg" ->
       "SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS BIGINT) AS sum_qty, count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus",
     "a2_winner_topk" ->

@@ -68,7 +68,13 @@ object Crawl {
       // 10^10-frontier crawl on cluster parallelism the reference never
       // had. Enable for single-node-faithful dole behavior.
       enforceDoleCaps: Boolean = false,
-      maxSpidersGlobal: Int = 300 // MAX_SPIDERS, Spider.h:1637
+      maxSpidersGlobal: Int = 300, // MAX_SPIDERS, Spider.h:1637
+      // F6: site-list lines (PageBasic.cpp grammar; empty → insitelist
+      // always matches). Non-empty lists route scheduling through the
+      // reference-exact interpreter (pattern matching isn't compiled).
+      siteList: Seq[String] = Nil,
+      // matchesucp/matchesupp collection patterns (Spider.cpp:11714-11777)
+      patterns: CrawlPatterns = CrawlPatterns()
   )
 
   def nowSecs(cfg: Config, iteration: Int): Long = cfg.baseTimeSecs + iteration * (cfg.clockStepMs / 1000L).max(1L)
@@ -136,7 +142,8 @@ object Crawl {
     isPingServer = Flags.has(r.flags, Flags.IsPingServer),
     hasMediaExtension = Flags.has(r.flags, Flags.HasMediaExtension),
     fakeFirstIp = Flags.has(r.flags, Flags.FakeFirstIp),
-    hadReply = Flags.has(r.flags, Flags.HadReply)
+    hadReply = Flags.has(r.flags, Flags.HadReply),
+    wasParentIndexed = Flags.has(r.flags, Flags.WasParentIndexed)
   )
 
   private def toUfnReply(r: FrontierReply): UfnReply = UfnReply(
@@ -182,7 +189,8 @@ object Crawl {
   /** F1+A1 scoring joined row. */
   final case class Scored(req: FrontierRequest, ufn: Int, priority: Int,
                           spiderTimeMs: Long, forceDelete: Boolean,
-                          ipMaxSpiders: Int, ipWaitMs: Int)
+                          ipMaxSpiders: Int, ipWaitMs: Int,
+                          wasIndexed: Boolean = false)
 
   /** F7 request-side corruption predicate (Spider.cpp:4466-4507): url
     * must start "http" (or a digit — pagereindex docid) and addedTime
@@ -241,6 +249,7 @@ object Crawl {
     val now = nowSecs(cfg, iteration)
     val nowMillis = nowMs(cfg, iteration)
     val inl = Option(inlinks).getOrElse(spark.emptyDataset[InlinkState])
+    val sl = new SiteList(cfg.siteList)
 
     val c = RuleCompiler.Cols(
       url = col("url"), hopCount = col("hop_count"), flags = col("flags"),
@@ -251,7 +260,7 @@ object Crawl {
       repErrCode = col("rep_err_code"), repErrCount = col("rep_err_count"),
       repHttpStatus = col("rep_http_status"), now = lit(now))
 
-    RuleCompiler.compile(cfg.rules, c) match {
+    RuleCompiler.compile(cfg.rules, c, siteListEmpty = sl.isEmpty, patterns = cfg.patterns) match {
       case None => scheduleInterpreted(requests, replies, ipState, domState, cfg, iteration, inl)
       case Some(compiled) =>
         // merge duplicate requests per uh48 with native aggregates
@@ -320,8 +329,9 @@ object Crawl {
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= least(col("ip_max"), lit(cfg.maxWinnersPerIp)))
           .withColumn("seq_in_ip", (col("rank") - 1).cast("int"))
+          .withColumn("was_indexed", col("rep_exists") && col("rep_err_code") === 0)
           .select(col("uh48"), col("first_ip"), col("url"), col("priority"), col("ufn"),
-            col("spider_time_ms"), col("hop_count"), col("seq_in_ip"))
+            col("spider_time_ms"), col("hop_count"), col("seq_in_ip"), col("was_indexed"))
           .as[FetchTask]
         if (cfg.enforceDoleCaps) applyDoleCaps(batch, cfg) else batch
     }
@@ -342,6 +352,12 @@ object Crawl {
     val nowMillis = nowMs(cfg, iteration)
     val rules = cfg.rules
     val inl = Option(inlinks).getOrElse(spark.emptyDataset[InlinkState])
+    // collection context: site list + crawl patterns (F6/F4)
+    val sl = new SiteList(cfg.siteList)
+    val ctx = RuleCtx(sl.isEmpty,
+      u => sl.matchingPattern(GbUrl.parse(u)),
+      (u, t) => sl.matchingPattern(GbUrl.parse(u), t),
+      cfg.patterns)
 
     val reqs = mergedRequests(requestsFiltered(requests.toDF(), now, cfg).as[FrontierRequest])
     val reps = latestReplies(repliesFiltered(replies.toDF(), now, cfg).as[FrontierReply])
@@ -378,12 +394,13 @@ object Crawl {
         else req
       val ur = toUfn(reqFixed).copy(pageNumInlinks = pni)
       val urep = rep.map(toUfnReply)
-      val ufn = UrlFilters.urlFilterNum(ur, urep, now, rules)
-      if (ufn < 0) Scored(reqFixed, -1, -1, Long.MaxValue, forceDelete = true, 0, 0)
+      val ufn = UrlFilters.urlFilterNumCtx(ur, urep, now, rules, ctx)
+      if (ufn < 0) Scored(reqFixed, -1, -1, Long.MaxValue, forceDelete = true, 0, 0, wasIndexed = false)
       else {
         val rule = rules(ufn)
         val t = UrlFilters.spiderTimeMs(ur, ufn, urep, rules, lastMs, domCd)
-        Scored(reqFixed, ufn, rule.priority, t, rule.forceDelete, rule.ipMaxSpiders, rule.ipWaitMs)
+        Scored(reqFixed, ufn, rule.priority, t, rule.forceDelete, rule.ipMaxSpiders, rule.ipWaitMs,
+          wasIndexed = rep.exists(_.err_code == 0))
       }
     }
 
@@ -392,8 +409,8 @@ object Crawl {
     // tie-breaks priority desc, hopCount asc, time asc, Spider.cpp:4856-4893)
     val eligible = scored
       .filter(s => !s.forceDelete && s.spiderTimeMs <= nowMillis)
-      .map(s => (s.req.uh48, s.req.first_ip, s.req.url, s.priority, s.ufn, s.spiderTimeMs, s.req.hop_count, s.ipMaxSpiders))
-      .toDF("uh48", "first_ip", "url", "priority", "ufn", "spider_time_ms", "hop_count", "ip_max")
+      .map(s => (s.req.uh48, s.req.first_ip, s.req.url, s.priority, s.ufn, s.spiderTimeMs, s.req.hop_count, s.ipMaxSpiders, s.wasIndexed))
+      .toDF("uh48", "first_ip", "url", "priority", "ufn", "spider_time_ms", "hop_count", "ip_max", "was_indexed")
 
     val w = Window.partitionBy(col("first_ip"))
       .orderBy(col("priority").desc, col("hop_count").asc, col("spider_time_ms").asc, col("uh48").asc)
@@ -402,7 +419,7 @@ object Crawl {
       .filter(col("rank") <= least(col("ip_max"), lit(cfg.maxWinnersPerIp)))
       .withColumn("seq_in_ip", col("rank") - 1)
       .select(col("uh48"), col("first_ip"), col("url"), col("priority"), col("ufn"),
-        col("spider_time_ms"), col("hop_count"), col("seq_in_ip").cast("int"))
+        col("spider_time_ms"), col("hop_count"), col("seq_in_ip").cast("int"), col("was_indexed"))
       .as[FetchTask]
     if (cfg.enforceDoleCaps) applyDoleCaps(batch, cfg) else batch
   }
@@ -423,7 +440,8 @@ object Crawl {
       extractedText: String,
       isRSS: Boolean = false,       // Xml::isRSSFeed on the parse
       isPermalink: Boolean = false, // ::isPermalink (links-free shape)
-      isSiteMap: Boolean = false    // filename == sitemap.xml (getIsSiteMap)
+      isSiteMap: Boolean = false,   // filename == sitemap.xml (getIsSiteMap)
+      html: Array[Byte] = null      // raw page bytes (titledb payload, S7)
   )
 
   /** S6+X5+X7-X12: fetch batch against the pages table, robots-gated,
@@ -471,7 +489,8 @@ object Crawl {
       .join(pages.toDF().select(col("url").as("purl"), col("html"), col("lang").as("plang")), col("eff_url") === col("purl"), "left_outer")
       .select(
         struct(col("uh48"), col("first_ip"), col("url"), col("priority"), col("ufn"),
-          col("spider_time_ms"), col("hop_count"), col("seq_in_ip")).as("task").as[FetchTask],
+          col("spider_time_ms"), col("hop_count"), col("seq_in_ip"), col("was_indexed"))
+          .as("task").as[FetchTask],
         col("body").as[Array[Byte]],
         col("html").as[Array[Byte]],
         col("plang").as[String],
@@ -577,11 +596,12 @@ object Crawl {
                   if (lu.domHash32 == u.domHash32) fl |= Flags.SameDom
                   if (lu.hostHash32 == u.hostHash32) fl |= Flags.SameHost
                   if (lu.hostHash32 == u.hostHash32) fl |= Flags.SameSite // site == host
-                  // parent-truth flags (XmlDoc.cpp:27469-27472) and the
-                  // url-format permalink guess (XmlDoc.cpp:27801-27804)
+                  // parent-truth flags (XmlDoc.cpp:27469-27472, 27891) and
+                  // the url-format permalink guess (XmlDoc.cpp:27801-27804)
                   if (pageIsRSS) fl |= Flags.ParentIsRSS
                   if (pageIsSiteMap) fl |= Flags.ParentIsSiteMap
                   if (pageIsPermalink) fl |= Flags.ParentIsPermalink
+                  if (task.was_indexed) fl |= Flags.WasParentIndexed
                   if (graft.core.GbPermalink.isUrlPermalinkFormat(lu)) fl |= Flags.IsUrlPermalinkFormat
                   Some(FrontierRequest(
                     uh48 = lu.uh48,
@@ -605,7 +625,8 @@ object Crawl {
           }
           FetchResult(task, found = true, allowed = true, cd, 200, Errs.OK,
             if (plang == null) "en" else plang, contentHash, downloadEnd, outs, text,
-            isRSS = pageIsRSS, isPermalink = pageIsPermalink, isSiteMap = pageIsSiteMap)
+            isRSS = pageIsRSS, isPermalink = pageIsPermalink, isSiteMap = pageIsSiteMap,
+            html = html)
         }
       }
   }
@@ -848,6 +869,15 @@ object Crawl {
     loadTable(spark, workdir, i, "replies").as[FrontierReply]
   }
 
+  /** S7: the crawled-content table as of snapshot i (delta chain back
+    * to the last compaction, latest record per uh48). */
+  def loadTitledb(spark: SparkSession, workdir: String, i: Int): Dataset[TitleRow] = {
+    import spark.implicits._
+    val df = loadTable(spark, workdir, i, "titledb").as[TitleRow]
+    df.groupByKey(_.uh48).reduceGroups((a, b) => if (a.spidered_time >= b.spidered_time) a else b)
+      .map(_._2)
+  }
+
   /** Inlink c-block state as of snapshot i (empty for pre-inlink
     * snapshots so resume keeps working). */
   def loadInlinkState(spark: SparkSession, workdir: String, i: Int): Dataset[InlinkState] = {
@@ -1013,7 +1043,16 @@ object Crawl {
         },
         Future { mergedIp.write.mode("overwrite").parquet(s"$d/ip_state") },
         Future { mergedDom.write.mode("overwrite").parquet(s"$d/dom_state") },
-        Future { mergedInl.write.mode("overwrite").parquet(s"$d/inlink_state") }
+        Future { mergedInl.write.mode("overwrite").parquet(s"$d/inlink_state") },
+        Future {
+          // S7: titledb sink — the crawled-content snapshot (Titledb.cpp
+          // titleRec analogue): raw bytes + extracted text per fetched
+          // url, appended as a delta; compaction keeps latest per uh48
+          results.filter(_.found)
+            .map(r => TitleRow(r.task.uh48, r.task.url, nowSecs(cfg, i),
+              r.httpStatus, r.lang, r.contentHash32, r.html, r.extractedText))
+            .write.mode("overwrite").parquet(s"$d/titledb_delta")
+        }
       )
       Await.result(Future.sequence(writes), Duration.Inf)
     }
@@ -1045,12 +1084,15 @@ object Crawl {
     val dedupedRep = latestReplies(replies)
     dedupedReq.write.mode("overwrite").parquet(s"$d/requests_full_tmp")
     dedupedRep.write.mode("overwrite").parquet(s"$d/replies_full_tmp")
+    loadTitledb(spark, workdir, i).write.mode("overwrite").parquet(s"$d/titledb_full_tmp")
     // swap in: the full table replaces this snapshot's delta
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$d/requests_delta"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$d/replies_delta"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$d/titledb_delta"), true)
     fs.rename(new org.apache.hadoop.fs.Path(s"$d/requests_full_tmp"), new org.apache.hadoop.fs.Path(s"$d/requests"))
     fs.rename(new org.apache.hadoop.fs.Path(s"$d/replies_full_tmp"), new org.apache.hadoop.fs.Path(s"$d/replies"))
+    fs.rename(new org.apache.hadoop.fs.Path(s"$d/titledb_full_tmp"), new org.apache.hadoop.fs.Path(s"$d/titledb"))
     // rebuild the partitioned bloom from the compacted table (fpp hygiene)
     SeenBloom.build(spark.read.parquet(s"$d/requests").select("uh48").as[java.lang.Long],
       cfg.seenBuckets, cfg.expectedSeenPerBucket, cfg.bloomFpp)
@@ -1069,6 +1111,7 @@ object Crawl {
     spark.emptyDataset[IpState].write.mode("overwrite").parquet(s"$d/ip_state")
     spark.emptyDataset[DomState].write.mode("overwrite").parquet(s"$d/dom_state")
     spark.emptyDataset[InlinkState].write.mode("overwrite").parquet(s"$d/inlink_state")
+    spark.emptyDataset[TitleRow].write.mode("overwrite").parquet(s"$d/titledb")
     Seq.empty[(Int, Int, Int, String, Int, Int)].toDF("iteration", "first_ip", "seq", "url", "priority", "err_code")
       .write.mode("overwrite").parquet(s"$d/fetch_log")
     writeManifest(workdir, 0, Seq(MetricsRow(0, 0, 0, 0, 0, 0, seedUrls.size, 0, 0, 0)))
@@ -1083,20 +1126,22 @@ object Crawl {
     import spark.implicits._
     val i = latestSnapshot(workdir).getOrElse(0)
     val now = nowSecs(cfg, i)
-    injectRequests(spark, workdir, spark.createDataset(urls.flatMap(seedRequest(_, now))), cfg)
+    injectRequests(spark, workdir,
+      spark.createDataset(urls.flatMap(seedRequest(_, now)))
+        .map(r => r.copy(flags = (r.flags | Flags.IsInjecting) & ~Flags.IsAddUrl)),
+      cfg)
   }
 
   /** Dataset core of S2 injection — also the streaming intake sink
-    * (SeedStream), which must NOT collect micro-batches to the driver.
-    * Marks rows IsInjecting (clearing IsAddUrl), appends a delta to the
-    * latest snapshot, and keeps the seen-bloom a superset. */
+    * (SeedStream, which must NOT collect micro-batches to the driver)
+    * and the S3 reindex path. Appends a delta to the latest snapshot and
+    * keeps the seen-bloom a superset; callers set their own flag bits
+    * (IsInjecting / IsPageReindex). */
   def injectRequests(spark: SparkSession, workdir: String,
                      requests: Dataset[FrontierRequest], cfg: Config): Long = {
     import spark.implicits._
     val i = latestSnapshot(workdir).getOrElse(0)
-    val reqs = requests
-      .map(r => r.copy(flags = (r.flags | Flags.IsInjecting) & ~Flags.IsAddUrl))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val reqs = requests.persist(StorageLevel.MEMORY_AND_DISK)
     // unlike outlink admission, injections are NOT dropped for already-seen
     // urls (the reference's dup cache salts its key with the isInjecting
     // flag, Spider.cpp:2147-2211); only an exact (first_ip, uh48) record —
@@ -1125,6 +1170,20 @@ object Crawl {
     fresh.unpersist()
     reqs.unpersist()
     n
+  }
+
+  /** S3: query-reindex entry (PageReindex.cpp): push already-crawled
+    * urls back into the frontier with IsPageReindex — the isreindex rule
+    * (priority 80) schedules them immediately (getSpiderTimeMS skips the
+    * respider wait, Spider.cpp:5976-5977), and the next fetch refreshes
+    * the titledb record. */
+  def reindex(spark: SparkSession, workdir: String, urls: Seq[String], cfg: Config): Long = {
+    import spark.implicits._
+    val i = latestSnapshot(workdir).getOrElse(0)
+    val now = nowSecs(cfg, i)
+    val reqs = urls.flatMap(seedRequest(_, now))
+      .map(r => r.copy(flags = (r.flags | Flags.IsPageReindex) & ~Flags.IsAddUrl))
+    injectRequests(spark, workdir, spark.createDataset(reqs), cfg)
   }
 
   /** Run (or resume) a crawl for `iterations` steps. */

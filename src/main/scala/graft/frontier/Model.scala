@@ -113,7 +113,9 @@ final case class DomState(dom_hash32: Int, crawl_delay_ms: Int)
   * reproduce across merges). */
 final case class InlinkState(first_ip: Int, uh48: Long, cblocks: Array[Int])
 
-/** One scheduled fetch (a doledb entry; Spider.h:1133-1157). */
+/** One scheduled fetch (a doledb entry; Spider.h:1133-1157).
+  * `was_indexed`: this url had a prior successful reply — feeds the
+  * outlinks' wasParentIndexed flag (XmlDoc.cpp:27891 `*ipi`). */
 final case class FetchTask(
     uh48: Long,
     first_ip: Int,
@@ -122,7 +124,24 @@ final case class FetchTask(
     ufn: Int,
     spider_time_ms: Long,
     hop_count: Int,
-    seq_in_ip: Int // dole order within the IP this iteration
+    seq_in_ip: Int, // dole order within the IP this iteration
+    was_indexed: Boolean = false
+)
+
+/** S7: one crawled-content record ≅ a titledb titleRec
+  * (`/root/reference/src/Titledb.cpp`; written from XmlDoc's meta list):
+  * raw page bytes + byte-exact extracted text, keyed by uh48, appended
+  * as snapshot deltas and compacted to latest-per-url. At cluster scale
+  * this is the Iceberg `pages_crawled` table. */
+final case class TitleRow(
+    uh48: Long,
+    url: String,
+    spidered_time: Long,
+    http_status: Int,
+    lang: String,
+    content_hash32: Int,
+    html: Array[Byte],
+    text: String
 )
 
 /** Per-iteration, per-partition lineage counters (north_rule). */

@@ -37,7 +37,8 @@ object RuleCompiler {
   @inline private def bit(flags: Column, b: Long): Column = (flags.bitwiseAND(lit(b)) =!= lit(0L))
 
   /** One token → Some(predicate Column), or None if unsupported. */
-  private def compileToken(tokIn: String, c: Cols, siteListEmpty: Boolean): Option[Column] = {
+  private def compileToken(tokIn: String, c: Cols, siteListEmpty: Boolean,
+                           patterns: CrawlPatterns): Option[Column] = {
     var tok = tokIn
     var neg = false
     if (tok.startsWith("!") && !tok.startsWith("!=")) { neg = true; tok = tok.substring(1).trim }
@@ -48,7 +49,19 @@ object RuleCompiler {
     if (tok.startsWith("isreindex")) return fin(bit(c.flags, Flags.IsPageReindex))
     if (tok.startsWith("ismanualadd"))
       return fin(bit(c.flags, Flags.IsAddUrl) || bit(c.flags, Flags.IsInjecting) || bit(c.flags, Flags.IsPageReindex))
-    if (tok.startsWith("insitelist")) return fin(lit(siteListEmpty))
+    if (tok.startsWith("insitelist")) {
+      // non-empty site list → interpreter fallback (pattern matching)
+      if (!siteListEmpty) return None
+      return fin(lit(true))
+    }
+    if (tok.startsWith("matchesucp")) {
+      if (patterns.ucpConfigured) return None // interpreter fallback
+      return Some(lit(true)) // unconfigured → always passes, '!' ignored
+    }
+    if (tok.startsWith("matchesupp")) {
+      if (patterns.uppConfigured) return None
+      return Some(lit(true))
+    }
     if (tok.startsWith("isaddurl")) return fin(bit(c.flags, Flags.IsAddUrl))
     if (tok.startsWith("isinjected")) return fin(bit(c.flags, Flags.IsInjecting))
     if (tok.startsWith("ismedia"))
@@ -67,6 +80,7 @@ object RuleCompiler {
     }
     if (tok.startsWith("isrssext")) return fin(bit(c.flags, Flags.IsRSSExt))
     if (tok.startsWith("ispermalinkformat")) return fin(bit(c.flags, Flags.IsUrlPermalinkFormat))
+    if (tok.startsWith("isparentindexed")) return fin(bit(c.flags, Flags.WasParentIndexed))
     if (tok.startsWith("isparentrss")) return fin(bit(c.flags, Flags.ParentIsRSS))
     if (tok.startsWith("isparentsitemap")) return fin(bit(c.flags, Flags.ParentIsSiteMap))
     if (tok.startsWith("isparentpingserver")) return fin(bit(c.flags, Flags.ParentIsPingServer))
@@ -155,10 +169,11 @@ object RuleCompiler {
   }
 
   /** Compile the whole table; None if any token is unsupported. */
-  def compile(rules: IndexedSeq[UrlFilterRule], c: Cols, siteListEmpty: Boolean = true): Option[Compiled] = {
+  def compile(rules: IndexedSeq[UrlFilterRule], c: Cols, siteListEmpty: Boolean = true,
+              patterns: CrawlPatterns = CrawlPatterns()): Option[Compiled] = {
     val ruleCols: Seq[Column] = rules.map { r =>
       val toks = r.expr.split("&&").map(_.trim)
-      val parts = toks.map(t => compileToken(t, c, siteListEmpty))
+      val parts = toks.map(t => compileToken(t, c, siteListEmpty, patterns))
       if (parts.exists(_.isEmpty)) return None
       parts.flatten.reduce(_ && _)
     }

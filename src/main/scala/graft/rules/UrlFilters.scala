@@ -60,8 +60,17 @@ final case class UfnRequest(
     isPingServer: Boolean = false,
     hasMediaExtension: Boolean = false,
     fakeFirstIp: Boolean = false,
-    hadReply: Boolean = false
+    hadReply: Boolean = false,
+    wasParentIndexed: Boolean = false
 )
+
+/** Collection-level evaluation context: site list + crawl/process
+  * patterns (the reference reads these from SpiderColl/CollectionRec). */
+final case class RuleCtx(
+    siteListEmpty: Boolean = true,
+    siteListMatch: String => Boolean = _ => false,
+    siteTagMatch: (String, String) => Boolean = (_, _) => false,
+    patterns: CrawlPatterns = CrawlPatterns())
 
 /** Reply-side context (subset of SpiderReply, Spider.h:926-1103). */
 final case class UfnReply(
@@ -137,10 +146,16 @@ object UrlFilters {
   def urlFilterNum(req: UfnRequest, rep: Option[UfnReply], nowGlobal: Long,
                    rules: IndexedSeq[UrlFilterRule] = defaultWebRules,
                    siteListEmpty: Boolean = true,
-                   siteListMatch: String => Boolean = _ => false): Int = {
+                   siteListMatch: String => Boolean = _ => false): Int =
+    urlFilterNumCtx(req, rep, nowGlobal, rules,
+      RuleCtx(siteListEmpty = siteListEmpty, siteListMatch = siteListMatch))
+
+  def urlFilterNumCtx(req: UfnRequest, rep: Option[UfnReply], nowGlobal: Long,
+                      rules: IndexedSeq[UrlFilterRule],
+                      ctx: RuleCtx): Int = {
     var i = 0
     while (i < rules.length) {
-      if (ruleMatches(rules(i).expr, req, rep, nowGlobal, siteListEmpty, siteListMatch))
+      if (ruleMatchesCtx(rules(i).expr, req, rep, nowGlobal, ctx))
         return i
       i += 1
     }
@@ -149,12 +164,17 @@ object UrlFilters {
 
   def ruleMatches(expr: String, req: UfnRequest, rep: Option[UfnReply], nowGlobal: Long,
                   siteListEmpty: Boolean = true,
-                  siteListMatch: String => Boolean = _ => false): Boolean = {
+                  siteListMatch: String => Boolean = _ => false): Boolean =
+    ruleMatchesCtx(expr, req, rep, nowGlobal,
+      RuleCtx(siteListEmpty = siteListEmpty, siteListMatch = siteListMatch))
+
+  def ruleMatchesCtx(expr: String, req: UfnRequest, rep: Option[UfnReply], nowGlobal: Long,
+                     ctx: RuleCtx): Boolean = {
     // split on && — the reference scans for the literal "&&"
     val parts = expr.split("&&")
     var k = 0
     while (k < parts.length) {
-      evalToken(parts(k).trim, req, rep, nowGlobal, siteListEmpty, siteListMatch) match {
+      evalToken(parts(k).trim, req, rep, nowGlobal, ctx) match {
         case RowSkip => return false
         case Bool(false) => return false
         case Bool(true) => // next token
@@ -166,7 +186,7 @@ object UrlFilters {
 
   // evaluate one token (with optional leading '!')
   private def evalToken(tokIn: String, req: UfnRequest, rep: Option[UfnReply], now: Long,
-                        siteListEmpty: Boolean, siteListMatch: String => Boolean): Tok = {
+                        ctx: RuleCtx): Tok = {
     var tok = tokIn
     var neg = false
     if (tok.startsWith("!") && !tok.startsWith("!=")) { neg = true; tok = tok.substring(1).trim }
@@ -180,9 +200,29 @@ object UrlFilters {
       return b(req.isAddUrl || req.isInjecting || req.isPageReindex || req.isPageParser)
     if (tok.startsWith("insitelist")) {
       // empty site list → dummy match (Spider.cpp:12031-12038)
-      val in = if (siteListEmpty) true else siteListMatch(url)
+      val in = if (ctx.siteListEmpty) true else ctx.siteListMatch(url)
       return b(in)
     }
+    if (tok.startsWith("tag:")) {
+      // site-list pattern carrying this tag matches the url
+      // (Spider.cpp:12590-12615; empty site list → no row)
+      val tag = tok.substring(4).takeWhile(c => !c.isWhitespace)
+      val in = !ctx.siteListEmpty && ctx.siteTagMatch(url, tag)
+      return b(in)
+    }
+    if (tok.startsWith("matchesucp")) {
+      // Spider.cpp:11714-11745: only binds when patterns are configured;
+      // manual adds always pass; '!' not honored by the C dispatch
+      if (!ctx.patterns.ucpConfigured) return Bool(true)
+      return Bool(ctx.patterns.matchesUcp(url) ||
+        req.isAddUrl || req.isPageReindex || req.isInjecting)
+    }
+    if (tok.startsWith("matchesupp")) {
+      // Spider.cpp:11748-11777: no manual-add override here
+      if (!ctx.patterns.uppConfigured) return Bool(true)
+      return Bool(ctx.patterns.matchesUpp(url))
+    }
+    if (tok.startsWith("isparentindexed")) return b(req.wasParentIndexed)
     if (tok.startsWith("isaddurl")) return b(req.isAddUrl)
     if (tok.startsWith("isinjected")) return b(req.isInjecting)
     if (tok.startsWith("ismedia")) {

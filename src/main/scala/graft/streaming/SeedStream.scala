@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.frontier.{Crawl, FrontierRequest}
+import graft.frontier.{Crawl, Flags, FrontierRequest}
 
 /** S1/S2 as a stream: continuous seed/injection ingestion via Structured
   * Streaming. Raw urls arrive on any streaming source (file drop-in dir,
@@ -43,10 +43,12 @@ object SeedStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: Dataset[FrontierRequest], batchId: Long) =>
+        import batch.sparkSession.implicits._
         // the micro-batch Dataset goes straight into the injection core
         // (delta append + bloom superset update) — NO driver-side
         // collect; at scale a batch can be millions of urls
-        Crawl.injectRequests(spark, workdir, batch, cfg)
+        Crawl.injectRequests(spark, workdir,
+          batch.map(r => r.copy(flags = (r.flags | Flags.IsInjecting) & ~Flags.IsAddUrl)), cfg)
         ()
       }
       .start()
