@@ -201,6 +201,10 @@ object Bench {
          |
          |Same job on identical input at two parallelism levels (sandbox
          |stand-in for N vs 4N executors). Efficiency = speedup / core-ratio.
+         |Methodology (reproducible, nothing best-of-N): each (lo, hi)
+         |session pair runs back-to-back so host-load drift cancels in the
+         |ratio; each session reports the MEDIAN of its reps; the reported
+         |efficiency is the MEDIAN of the per-pair ratios across $pairsN pairs.
          |
          || kernel | local[$lo] (N) | local[$hi] (4N) | efficiency | local[32] absolute |
          ||---|---|---|---|---|
@@ -210,7 +214,7 @@ object Bench {
          |
          |The scheduling and extraction kernels are the per-URL work that scales
          |with executors at 10^10-frontier size; the full-loop number includes the
-         |per-iteration fixed costs (snapshot commits, ~10 Spark jobs/iteration)
+         |per-iteration fixed costs (snapshot commits, 3 sequential job stages per iteration)
          |which are amortized at real scale (at 10^8 urls/iteration the kernel
          |cost dominates) but dominate at this sandbox size. Local-mode numbers
          |understate cluster scaling for the scheduler: local shuffles contend on

@@ -100,6 +100,55 @@ final case class GbUrl(
     }
   }
 
+  /** X16: Url::isBadExtension (Url.cpp:1568-1608) — the static list
+    * (resource graft/badexts.txt with the TR version each entry was
+    * banned at: everything through "zip" at 50; wmv/wma/ogg at 73),
+    * .warc/.arc exempt. */
+  def isBadExtension(version: Int = 121): Boolean = {
+    val e = extension.toLowerCase
+    if (e.isEmpty) false
+    else GbUrl.badExtVersion.get(e) match {
+      case Some(v) if v <= version => !isWarc && !isArc
+      case _ => false
+    }
+  }
+
+  /** X16: Url::isLinkLoop (Url.cpp:1674-1730) — repeated path
+    * components: any component 3+ times, or two doubled components
+    * back-to-back. */
+  def isLinkLoop: Boolean = {
+    val counts = new java.util.HashMap[String, Integer]()
+    var count = 0
+    var components = 0
+    var prevWasDouble = false
+    var last = -1
+    var s = pathOff
+    val send = url.length
+    while (s < send) {
+      if (url.charAt(s) == '/') {
+        if (last < 0) last = s
+        else {
+          if (components >= 50) return false
+          components += 1
+          val comp = url.substring(last, s)
+          val old = counts.get(comp)
+          if (old == null) { counts.put(comp, 1); last = s }
+          else {
+            val v = old + 1
+            if (v >= 3) return true
+            if (v == 2) count += 1
+            if (count >= 2 && prevWasDouble) return true
+            prevWasDouble = v == 2
+            counts.put(comp, v)
+            last = s
+          }
+        }
+      }
+      s += 1
+    }
+    false
+  }
+
   def isWarc: Boolean = {
     val u = url
     u.endsWith(".warc") || u.endsWith(".warc.gz")
@@ -124,6 +173,14 @@ object GbUrl {
 
   /** Dotted TLD table (Domains.cpp:116-816), lowercase. Single all-alpha
     * labels are always TLDs (Domains.cpp:101-107). */
+  /** extension → TR version it was banned at (Url.cpp s_badExtensions). */
+  lazy val badExtVersion: Map[String, Int] = {
+    val in = getClass.getResourceAsStream("/graft/badexts.txt")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().map { l => val f = l.trim.split(' '); f(0) -> f(1).toInt }.toMap
+    finally src.close()
+  }
+
   lazy val dottedTlds: Set[String] = {
     val in = getClass.getResourceAsStream("/graft/tlds.txt")
     val src = scala.io.Source.fromInputStream(in, "UTF-8")

@@ -540,6 +540,15 @@ object Crawl {
         } else if (redirErr != 0) {
           FetchResult(task, found = false, allowed = allowed, cd, 301, redirErr,
             "", 0, downloadEnd, Nil, "")
+        } else if (u.isLinkLoop) {
+          // "url is repeating path components" (XmlDoc.cpp:4300-4306)
+          FetchResult(task, found = false, allowed = true, cd, 0, Errs.ELINKLOOP,
+            "", 0, downloadEnd, Nil, "")
+        } else if (u.isBadExtension()) {
+          // bad extension with no vouching link text (XmlDoc.cpp:4507-4513;
+          // linkdb link text is out of crawl scope, so no-link-text holds)
+          FetchResult(task, found = false, allowed = true, cd, 0, Errs.EDOCBADCONTENTTYPE,
+            "", 0, downloadEnd, Nil, "")
         } else if (!allowed) {
           FetchResult(task, found = false, allowed = false, cd, 403, Errs.EDOCDISALLOWED,
             "", 0, downloadEnd, Nil, "")

@@ -168,5 +168,7 @@ object Errs {
   val EDOCTOOMANYREDIRECTS = 32815
   val EDOCSIMPLIFIEDREDIR = 32816
   val EDOCBADREDIRECTURL = 32817
+  val ELINKLOOP = 32876 // repeating path components (XmlDoc.cpp:4302)
+  val EDOCBADCONTENTTYPE = 32811 // bad extension (XmlDoc.cpp:4507-4513)
   val EDNSTIMEDOUT: Int = graft.rules.UrlFilters.EDNSTIMEDOUT
 }
