@@ -201,6 +201,10 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => TextOps.minhashLshCandidates(read(s, d, "documents"), 32, 8, 500L)),
     "dedup_simhash" -> ((s, d) => TextOps.simhashCandidates(read(s, d, "documents"), 500L)),
     "dedup_embedding_cosine" -> ((s, d) => TextOps.embeddingDupPairs(read(s, d, "embeddings"), 300L, 35)),
+    // the 100-TB dedup path: banded hyperplane LSH candidates + exact
+    // cosine verify of candidates only (recall vs the exact op is
+    // measured by GenTextOpsGoldens and recorded in BENCH.md)
+    "dedup_embedding_lsh" -> ((s, d) => TextOps.embeddingLshDupPairs(read(s, d, "embeddings"), 35)),
 
     // ----- training-data ops: similarity search
     "ann_cosine_topk" -> ((s, d) => TextOps.cosineTopK(read(s, d, "embeddings"), 20, 5)),
@@ -252,6 +256,8 @@ object SparkEntry {
       Seq(("doc_id", "BIGINT", false), ("pred_lang", "VARCHAR", true), ("lang", "VARCHAR", true))),
     "mm_decode_stub" -> valuesOracle("textops_mm_decode.tsv",
       Seq(("doc_id", "BIGINT", false), ("width", "BIGINT", false), ("height", "BIGINT", false))),
+    "dedup_embedding_lsh" -> valuesOracle("textops_embedding_lsh.tsv",
+      Seq(("vec_a", "BIGINT", false), ("vec_b", "BIGINT", false))),
 
     // real-frontier oracles, built from the committed crawl goldens
     "crawl_iteration" -> {

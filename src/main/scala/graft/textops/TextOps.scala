@@ -167,17 +167,46 @@ object TextOps {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
   }
 
-  /** LSH-bucketed ANN (the 100 TB path): random-hyperplane signatures
-    * (deterministic seeds), candidates restricted to matching buckets. */
-  def lshCosineTopK(emb: DataFrame, nQueries: Int = 20, k: Int = 5,
-                    nPlanes: Int = 12, dim: Int = 64): DataFrame = {
-    // deterministic hyperplanes from the tabulation table
-    val planes: Array[Array[Double]] = Array.tabulate(nPlanes) { p =>
+  /** SplitMix64 finalizer (Steele/Lea/Flood, public domain) — full
+    * avalanche per key. The tabulation hash (GbHash.hash64h) must NOT be
+    * used to derive hyperplanes: for keys differing only in the low
+    * byte it reduces to `tab(0,d) ^ C`, making every plane a XOR-shift
+    * of the same 64 table values — correlated planes, measurably lost
+    * LSH recall (0.87 observed vs 0.997 theory at t=0.35). */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic i.i.d. Gaussian hyperplanes via Box-Muller over
+    * SplitMix64 streams — the sign-LSH acos collision formula assumes
+    * spherically uniform plane normals (uniform-cube components bias
+    * toward corners and cost recall). */
+  private def gaussianPlanes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes) { p =>
       Array.tabulate(dim) { d =>
-        val h = GbHash.hash64h(p.toLong << 32 | d.toLong, 0x5bd1e995L)
-        (h.toDouble / Long.MaxValue.toDouble)
+        val k = p.toLong << 32 | d.toLong
+        val u1 = (mix64(k) >>> 11).toDouble / (1L << 53).toDouble
+        val u2 = (mix64(k ^ 0x5bd1e995c2b2ae3dL) >>> 11).toDouble / (1L << 53).toDouble
+        math.sqrt(-2.0 * math.log(u1 + 1e-300)) * math.cos(2.0 * math.Pi * u2)
       }
     }
+
+  /** LSH-bucketed ANN (the 100 TB path): banded random-hyperplane
+    * OR-construction — a vector is a candidate for a query iff they
+    * share at least one band of the sign signature; candidates (and
+    * only candidates) are exactly re-ranked by cosine. Bands trade
+    * recall for candidate volume: r-bit bands match a pair at angle-
+    * collision prob p with prob 1-(1-p^r)^bands. Recall vs the exact
+    * top-k is measured per-corpus by GenTextOpsGoldens and recorded in
+    * BENCH.md. (A single nPlanes-bit bucket probe is useless on data
+    * without strong near-dups — with 12 good planes and 500 vectors,
+    * buckets hold <1 vector on average.) */
+  def lshCosineTopK(emb: DataFrame, nQueries: Int = 20, k: Int = 5,
+                    nPlanes: Int = 24, bands: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = gaussianPlanes(nPlanes, dim)
     val spark = emb.sparkSession
     val planesB = spark.sparkContext.broadcast(planes)
     val sigU = udf((v: Seq[Float]) => {
@@ -194,13 +223,24 @@ object TextOps {
       }
       sig
     })
-    val withSig = emb.withColumn("bucket", sigU(col("embedding")))
+    val r = nPlanes / bands
+    val mask = (1 << r) - 1
+    val withSig = emb.withColumn("sig", sigU(col("embedding")))
       .withColumn("norm",
         sqrt(expr("aggregate(embedding, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
-    val queries = withSig.filter(col("vec_id") < nQueries)
+    val bandsOf = expr(s"transform(sequence(0, ${bands - 1}), b -> shiftright(sig, b * $r) & $mask)")
+    val banded = withSig.select(col("vec_id"), col("embedding"), col("norm"),
+        posexplode(bandsOf)).toDF("vec_id", "embedding", "norm", "band", "bkey")
+    val queries = banded.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("norm").as("q_norm"), col("bucket").as("q_bucket"))
-    val joined = withSig.join(broadcast(queries), col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+        col("norm").as("q_norm"), col("band").as("q_band"), col("bkey").as("q_bkey"))
+    // OR-construction: candidate iff ANY band matches; dedup the pair
+    // before the exact cosine so multi-band collisions cost one dot
+    val joined = banded.join(broadcast(queries),
+        col("band") === col("q_band") && col("bkey") === col("q_bkey") &&
+          col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("q_emb"), col("embedding"), col("q_norm"), col("norm"))
+      .dropDuplicates("q_id", "vec_id")
       .withColumn("dot", expr("aggregate(zip_with(embedding, q_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"))
       .withColumn("cosine", col("dot") / (col("norm") * col("q_norm")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id").asc)
@@ -237,11 +277,7 @@ object TextOps {
   def embeddingLshDupPairs(emb: DataFrame, minCosPct: Int = 90,
                            nPlanes: Int = 24, bands: Int = 12, dim: Int = 64): DataFrame = {
     val r = nPlanes / bands
-    val planes: Array[Array[Double]] = Array.tabulate(nPlanes) { p =>
-      Array.tabulate(dim) { d =>
-        GbHash.hash64h(p.toLong << 32 | d.toLong, 0x5bd1e995L).toDouble / Long.MaxValue.toDouble
-      }
-    }
+    val planes = gaussianPlanes(nPlanes, dim)
     val planesB = emb.sparkSession.sparkContext.broadcast(planes)
     val sigU = udf((v: Seq[Float]) => {
       val ps = planesB.value

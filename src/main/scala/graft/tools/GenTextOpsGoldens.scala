@@ -41,6 +41,27 @@ object GenTextOpsGoldens {
     write("textops_fingerprint.tsv", rows("text_fingerprint").map(_.mkString("\t")).sorted)
     write("textops_langid.tsv", rows("text_langid").map(_.mkString("\t")).sorted)
     write("textops_mm_decode.tsv", rows("mm_decode_stub").map(_.mkString("\t")).sorted)
+    write("textops_embedding_lsh.tsv", rows("dedup_embedding_lsh").map(_.mkString("\t")).sorted)
+
+    // recall of the LSH path vs the exact op, on the subset the exact op
+    // covers (vec_id < 300, same 35% threshold) — recorded in BENCH.md
+    {
+      import org.apache.spark.sql.functions.col
+      val exact = SparkEntry.queries("dedup_embedding_cosine")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lsh = SparkEntry.queries("dedup_embedding_lsh")(spark, sfDir)
+        .filter(col("vec_a") < 300 && col("vec_b") < 300)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val hit = exact.count(lsh.contains)
+      println(f"dedup_embedding_lsh recall vs exact (vec_id<300, cos>=0.35): $hit/${exact.size} = ${if (exact.isEmpty) 1.0 else hit.toDouble / exact.size}%.4f")
+
+      val bf = SparkEntry.queries("ann_cosine_topk")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val annLsh = SparkEntry.queries("ann_lsh_topk")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val annHit = bf.count(annLsh.contains)
+      println(f"ann_lsh_topk recall vs brute-force top-5: $annHit/${bf.size} = ${if (bf.isEmpty) 1.0 else annHit.toDouble / bf.size}%.4f")
+    }
     spark.stop()
   }
 }
