@@ -57,13 +57,13 @@ object SparkEntry {
     try src.getLines().toList finally src.close()
   }
 
-  /** One shared 7-iteration micro-corpus crawl per JVM — the real
+  /** One shared 8-iteration micro-corpus crawl per JVM — the real
     * frontier the driver-visible oracle queries read from. */
   @volatile private var crawlMemo: String = null
   private def crawlDir(s: SparkSession): String = synchronized {
     if (crawlMemo == null) {
       val w = java.nio.file.Files.createTempDirectory("graft_q_crawl").toString
-      Crawl.run(s, w, Corpus.micro, 7)
+      Crawl.run(s, w, Corpus.micro, 8)
       crawlMemo = w
     }
     crawlMemo
@@ -83,6 +83,20 @@ object SparkEntry {
       read(s, d, "orders").withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .select(col("o_custkey"), col("o_orderkey"), col("rank"))
+    }),
+    "a2_winner_heap" -> ((s, d) => {
+      // the SAME top-k via the bounded-heap winner aggregate the crawl
+      // scheduler actually uses (plans.WinnerTopK) — oracle-checked
+      // against the SQL window, proving heap ≡ window output
+      val o = read(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
+        (-round(col("o_totalprice") * 100).cast("long")).as("negcents"))
+      o.groupBy(col("o_custkey"))
+        .agg(graft.plans.WinnerTopKColumn(
+          col("o_orderkey"), col("o_orderkey").cast("string"), lit(0), lit(0),
+          col("negcents"), lit(0), lit(3), lit(false), lit(0L), 3).as("ws"))
+        .select(col("o_custkey"), posexplode(col("ws")).as(Seq("pos", "w")))
+        .select(col("o_custkey"), col("w.uh48").as("o_orderkey"),
+          (col("pos") + 1).cast("long").as("rank"))
     }),
     "j1_latest_reply" -> ((s, d) => {
       // latest-reply-per-uh48 join shape (J1) on events
@@ -183,16 +197,16 @@ object SparkEntry {
     // equivalents of the sbt byte-level goldens)
     "crawl_iteration" -> ((s, d) => {
       val w = crawlDir(s)
-      (1 to 2).map(i => s.read.parquet(s"${Crawl.snapDir(w, i)}/fetch_log")).reduce(_ unionByName _)
+      (1 to 3).map(i => s.read.parquet(s"${Crawl.snapDir(w, i)}/fetch_log")).reduce(_ unionByName _)
         .select("iteration", "first_ip", "seq", "url", "priority", "err_code")
     }),
     "j2_seen_frontier" -> ((s, d) =>
-      Crawl.loadRequests(s, crawlDir(s), 7).select("uh48")),
+      Crawl.loadRequests(s, crawlDir(s), 8).select("uh48")),
     "a7_inlinks_frontier" -> ((s, d) =>
-      Crawl.loadInlinkState(s, crawlDir(s), 7).toDF()
+      Crawl.loadInlinkState(s, crawlDir(s), 8).toDF()
         .select(col("first_ip"), col("uh48"), size(col("cblocks")).as("n_cblocks"))),
     "s7_titledb" -> ((s, d) =>
-      Crawl.loadTitledb(s, crawlDir(s), 7).toDF()
+      Crawl.loadTitledb(s, crawlDir(s), 8).toDF()
         .select(col("uh48"), col("url"), col("http_status"), col("content_hash32"))),
 
     // ----- training-data ops: dedup
@@ -262,7 +276,7 @@ object SparkEntry {
     // real-frontier oracles, built from the committed crawl goldens
     "crawl_iteration" -> {
       val rows = goldenLines("crawl_order.tsv")
-        .filter(_.split('\t')(0).toInt <= 2)
+        .filter(_.split('\t')(0).toInt <= 3)
         .map { l =>
           val f = l.split('\t')
           s"(${f(0)}, ${f(1)}, ${f(2)}, '${f(3)}', ${f(4)}, ${f(5)})"
@@ -289,6 +303,8 @@ object SparkEntry {
     "q1_lineitem_agg" ->
       "SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS BIGINT) AS sum_qty, count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus",
     "a2_winner_topk" ->
+      "SELECT o_custkey, o_orderkey, rank FROM (SELECT o_custkey, o_orderkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank FROM orders) WHERE rank <= 3",
+    "a2_winner_heap" ->
       "SELECT o_custkey, o_orderkey, rank FROM (SELECT o_custkey, o_orderkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank FROM orders) WHERE rank <= 3",
     "j1_latest_reply" ->
       "SELECT user_id, event_id FROM (SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1",

@@ -23,16 +23,25 @@ import graft.core.{GbHash, GbXml}
 object Corpus {
 
   final case class Spec(nHosts: Int, sectionsPerHost: Int, leavesPerSection: Int) {
-    // +1: every host has a /feed.xml page slot (RSS; only k≡5 (mod 8)
-    // hosts advertise it from their root, the rest are unreachable)
-    def pagesPerHost: Int = 1 + sectionsPerHost + sectionsPerHost * leavesPerSection + 1
-    def feedPage: Int = pagesPerHost - 1
+    // +2: every host has /feed.xml and /feed2.xml page slots (RSS; only
+    // k≡5 (mod 8) hosts advertise them — feed from the root (hop 1),
+    // feed2 from section s2 (hop 2) — the rest are unreachable)
+    def pagesPerHost: Int = 1 + sectionsPerHost + sectionsPerHost * leavesPerSection + 2
+    def feedPage: Int = pagesPerHost - 2
+    def feed2Page: Int = pagesPerHost - 1
     def totalPages: Long = nHosts.toLong * pagesPerHost
   }
 
-  /** Hosts k≡5 (mod 8) serve an RSS feed advertised from their root —
-    * exercises Xml::isRSSFeed reply truth, the ParentIsRSS request flag
-    * (priority-45/43 url-filter rows), and <link>-body harvesting. */
+  /** Hosts k≡5 (mod 8) serve two RSS feeds — exercising Xml::isRSSFeed
+    * reply truth, the ParentIsRSS request flag (priority-45/43
+    * url-filter rows), <link>-body harvesting, the RSS <a href> harvest
+    * skip (XmlDoc.cpp:27626), and the RSS hop-force (XmlDoc.cpp:21565):
+    * /feed.xml is advertised from the root (fetched at hop 1 — force
+    * inert), /feed2.xml from section s2 (fetched at hop 2 → doc hop
+    * forced to 1, items harvested at hop 2, not 3). s2, not s1, because
+    * k≡1 (mod 4) hosts robots-disallow /s1 — which also makes feed2's
+    * s1-leaf item the ONLY discovery path for that leaf on such hosts,
+    * pinning the forced hop in the frontier. */
   def hasFeed(k: Int): Boolean = k % 8 == 5
 
   val micro: Spec = Spec(8, 2, 3) // ~200 pages
@@ -51,9 +60,10 @@ object Corpus {
 
   def siteNumInlinks(k: Int): Int = if (k % 16 == 0) 9 else k % 8
 
-  /** page index within host: 0 = root, 1..S = sections, leaves, feed. */
+  /** page index within host: 0 = root, 1..S = sections, leaves, feeds. */
   def pageUrl(k: Int, p: Int, spec: Spec): String = {
-    if (p == spec.feedPage) s"http://${host(k)}/feed.xml"
+    if (p == spec.feed2Page) s"http://${host(k)}/feed2.xml"
+    else if (p == spec.feedPage) s"http://${host(k)}/feed.xml"
     else if (p == 0) s"http://${host(k)}/"
     else if (p <= spec.sectionsPerHost) s"http://${host(k)}/s$p/"
     else {
@@ -68,19 +78,25 @@ object Corpus {
     * charset tag (X7 coverage: the charset-detect + convert path runs on
     * real crawl pages, not just unit fixtures). */
   def isLatin1Page(k: Int, p: Int, spec: Spec): Boolean =
-    k % 8 == 6 && p > spec.sectionsPerHost && p != spec.feedPage
+    k % 8 == 6 && p > spec.sectionsPerHost && p != spec.feedPage && p != spec.feed2Page
 
   /** Raw page bytes as served: latin1-encoded for latin1 pages. */
   def pageBytes(k: Int, p: Int, spec: Spec): Array[Byte] =
     if (isLatin1Page(k, p, spec)) pageHtml(k, p, spec).getBytes("ISO-8859-1")
     else pageHtml(k, p, spec).getBytes("UTF-8")
 
-  /** RSS 2.0 feed body: items link two leaves + a cross-host root. */
+  /** RSS 2.0 feed body: items link two leaves + a cross-host root. The
+    * first item's description embeds a raw `<a href>` anchor — the
+    * reference harvests ONLY <link> urls from RSS docs ("we only
+    * harvest <link> urls from rss feeds, not href links",
+    * XmlDoc.cpp:27626), so the anchor target must never enter the
+    * frontier via this feed. */
   def feedXml(k: Int, spec: Spec): String = {
     val sb = new StringBuilder(512)
     sb.append(s"""<?xml version="1.0"?><rss version="2.0"><channel>""")
     sb.append(s"<title>Host $k feed</title><link>http://${host(k)}/</link>")
-    sb.append(s"<item><title>entry 0</title><link>http://${host(k)}/s1/leaf0.html</link></item>")
+    sb.append(s"<item><title>entry 0</title><link>http://${host(k)}/s1/leaf0.html</link>")
+    sb.append(s"""<description>see <a href="http://${host((k + 5) % spec.nHosts)}/s2/">more</a> inline</description></item>""")
     if (spec.sectionsPerHost >= 2)
       sb.append(s"<item><title>entry 1</title><link>http://${host(k)}/s2/leaf1.html</link></item>")
     sb.append(s"<item><title>peer</title><link>http://${host((k + 3) % spec.nHosts)}/</link></item>")
@@ -88,9 +104,25 @@ object Corpus {
     sb.toString
   }
 
+  /** The hop-2 feed (advertised from section s2): its doc hop count is
+    * forced to 1 by the reference (XmlDoc.cpp:21565-21572), so its items
+    * are harvested at hop 2 — pinned by the s1-leaf item, whose ONLY
+    * discovery path on robots-/s1-disallowed hosts is this feed. */
+  def feed2Xml(k: Int, spec: Spec): String = {
+    val sb = new StringBuilder(512)
+    sb.append(s"""<?xml version="1.0"?><rss version="2.0"><channel>""")
+    sb.append(s"<title>Host $k feed2</title><link>http://${host(k)}/</link>")
+    sb.append(s"<item><title>deep 0</title><link>http://${host(k)}/s1/leaf1.html</link>")
+    sb.append(s"""<description>also <a href="http://${host((k + 9) % spec.nHosts)}/s2/">anchor</a> here</description></item>""")
+    sb.append(s"<item><title>deep 1</title><link>http://${host(k)}/s2/leaf0.html</link></item>")
+    sb.append("</channel></rss>")
+    sb.toString
+  }
+
   /** Deterministic html body with links. */
   def pageHtml(k: Int, p: Int, spec: Spec): String = {
     if (p == spec.feedPage) return feedXml(k, spec)
+    if (p == spec.feed2Page) return feed2Xml(k, spec)
     val sb = new StringBuilder(1024)
     val title = if (p == 0) s"Host $k home" else s"Host $k page $p"
     val meta = if (isLatin1Page(k, p, spec)) "<meta charset=iso-8859-1>" else ""
@@ -119,6 +151,8 @@ object Corpus {
       // a nofollow link that must NOT be harvested
       sb.append(s"""<a rel="nofollow" href="http://${host((k + 7) % spec.nHosts)}/private/">nf</a> """)
     } else if (p <= spec.sectionsPerHost) {
+      if (p == 2 && hasFeed(k))
+        sb.append("""<link rel="alternate" type="application/rss+xml" href="/feed2.xml">""")
       val leavesHere = spec.leavesPerSection
       for (l <- 0 until leavesHere) sb.append(s"""<a href="leaf$l.html">leaf $l</a> """)
       sb.append(s"""<a href="/">home</a> """)

@@ -323,15 +323,26 @@ object Crawl {
           .withColumn("spider_time_ms", spiderTime)
           .filter(!col("force_delete") && col("spider_time_ms") <= nowMillis)
 
-        val w = Window.partitionBy(col("first_ip"))
-          .orderBy(col("priority").desc, col("hop_count").asc, col("spider_time_ms").asc, col("uh48").asc)
+        // A2: winner selection with the BOUNDED-heap aggregate (the
+        // winner-tree analogue, MAX_WINNER_NODES; see plans.WinnerTopK)
+        // — O(k) state per IP instead of the window's per-IP full sort,
+        // which buffers an entire skewed IP in one task at 100 TB.
+        // posexplode position = dole order (seq_in_ip); the per-rule
+        // ipMaxSpiders cap applies per ROW like the window version.
+        val winners = graft.plans.WinnerTopKColumn(
+          col("uh48"), col("url"), col("priority"), col("ufn"),
+          col("spider_time_ms"), col("hop_count"), col("ip_max"),
+          col("rep_exists") && col("rep_err_code") === 0, col("flags"),
+          cfg.maxWinnersPerIp)
         val batch = scored
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= least(col("ip_max"), lit(cfg.maxWinnersPerIp)))
-          .withColumn("seq_in_ip", (col("rank") - 1).cast("int"))
-          .withColumn("was_indexed", col("rep_exists") && col("rep_err_code") === 0)
-          .select(col("uh48"), col("first_ip"), col("url"), col("priority"), col("ufn"),
-            col("spider_time_ms"), col("hop_count"), col("seq_in_ip"), col("was_indexed"))
+          .groupBy(col("first_ip")).agg(winners.as("ws"))
+          .select(col("first_ip"), posexplode(col("ws")).as(Seq("pos", "w")))
+          .filter(col("pos") < least(col("w.ip_max"), lit(cfg.maxWinnersPerIp)))
+          .select(col("w.uh48").as("uh48"), col("first_ip"), col("w.url").as("url"),
+            col("w.priority").as("priority"), col("w.ufn").as("ufn"),
+            col("w.spider_time_ms").as("spider_time_ms"), col("w.hop_count").as("hop_count"),
+            col("pos").cast("int").as("seq_in_ip"), col("w.was_indexed").as("was_indexed"),
+            col("w.req_flags").as("req_flags"))
           .as[FetchTask]
         if (cfg.enforceDoleCaps) applyDoleCaps(batch, cfg) else batch
     }
@@ -409,8 +420,8 @@ object Crawl {
     // tie-breaks priority desc, hopCount asc, time asc, Spider.cpp:4856-4893)
     val eligible = scored
       .filter(s => !s.forceDelete && s.spiderTimeMs <= nowMillis)
-      .map(s => (s.req.uh48, s.req.first_ip, s.req.url, s.priority, s.ufn, s.spiderTimeMs, s.req.hop_count, s.ipMaxSpiders, s.wasIndexed))
-      .toDF("uh48", "first_ip", "url", "priority", "ufn", "spider_time_ms", "hop_count", "ip_max", "was_indexed")
+      .map(s => (s.req.uh48, s.req.first_ip, s.req.url, s.priority, s.ufn, s.spiderTimeMs, s.req.hop_count, s.ipMaxSpiders, s.wasIndexed, s.req.flags))
+      .toDF("uh48", "first_ip", "url", "priority", "ufn", "spider_time_ms", "hop_count", "ip_max", "was_indexed", "req_flags")
 
     val w = Window.partitionBy(col("first_ip"))
       .orderBy(col("priority").desc, col("hop_count").asc, col("spider_time_ms").asc, col("uh48").asc)
@@ -419,7 +430,8 @@ object Crawl {
       .filter(col("rank") <= least(col("ip_max"), lit(cfg.maxWinnersPerIp)))
       .withColumn("seq_in_ip", col("rank") - 1)
       .select(col("uh48"), col("first_ip"), col("url"), col("priority"), col("ufn"),
-        col("spider_time_ms"), col("hop_count"), col("seq_in_ip").cast("int"), col("was_indexed"))
+        col("spider_time_ms"), col("hop_count"), col("seq_in_ip").cast("int"), col("was_indexed"),
+        col("req_flags"))
       .as[FetchTask]
     if (cfg.enforceDoleCaps) applyDoleCaps(batch, cfg) else batch
   }
@@ -489,7 +501,8 @@ object Crawl {
       .join(pages.toDF().select(col("url").as("purl"), col("html"), col("lang").as("plang")), col("eff_url") === col("purl"), "left_outer")
       .select(
         struct(col("uh48"), col("first_ip"), col("url"), col("priority"), col("ufn"),
-          col("spider_time_ms"), col("hop_count"), col("seq_in_ip"), col("was_indexed"))
+          col("spider_time_ms"), col("hop_count"), col("seq_in_ip"), col("was_indexed"),
+          col("req_flags"))
           .as("task").as[FetchTask],
         col("body").as[Array[Byte]],
         col("html").as[Array[Byte]],
@@ -516,7 +529,22 @@ object Crawl {
         val spacing = math.max(cd.toLong, ipWait.toLong)
         val downloadEnd = nowMillis + (task.seq_in_ip + 1).toLong * spacing
 
-        if (redirErr == Errs.EDOCSIMPLIFIEDREDIR) {
+        // the add-url DNS hop (XmlDoc.cpp:2812-2828): a fake-firstIp
+        // ADD-URL request is never downloaded — indexDoc short-circuits
+        // with EFAKEFIRSTIP, answers the fake request with a reply under
+        // the fake ip, and re-adds a revised request under the real ip
+        // (XmlDoc.cpp:2617-2691; getRevisedSpiderRequest :2330-2367 —
+        // an exact copy with only m_firstIp replaced and the flag
+        // cleared). Injections and page reindexes skip this and get
+        // genuinely fetched under their request ip. No crawl delay is
+        // consumed (XmlDoc.cpp:14687: fakeFirstIp → delay 0).
+        if (Flags.has(task.req_flags, Flags.FakeFirstIp) &&
+            Flags.has(task.req_flags, Flags.IsAddUrl) &&
+            !Flags.has(task.req_flags, Flags.IsInjecting) &&
+            !Flags.has(task.req_flags, Flags.IsPageReindex)) {
+          FetchResult(task, found = false, allowed = true, -1, 0, Errs.EFAKEFIRSTIP,
+            "", 0, nowMillis, Nil, "")
+        } else if (redirErr == Errs.EDOCSIMPLIFIEDREDIR) {
           // don't index; re-queue the simpler target KEEPING the parent
           // hop count (XmlDoc.cpp:27758-27767 EDOCSIMPLIFIEDREDIR case;
           // getLinks treats the redir url as a link)
@@ -573,16 +601,30 @@ object Crawl {
           val pageIsPermalink = graft.core.GbPermalink.isPermalink(u, pageIsRSS)
           val pageIsSiteMap = u.filename.equalsIgnoreCase("sitemap.xml") // getIsSiteMap (ct folded into the .xml name)
 
+          // the doc's own hop count (getHopCount, XmlDoc.cpp:21540-21575):
+          // TitleRec hop is one byte (truncate at 0x7f), and an RSS doc
+          // with hc > 1 is FORCED to 1 ("otherwise it gets pounded too
+          // hard on the aggregator sites", XmlDoc.cpp:21565-21572) —
+          // its outlinks then get hc = 2, not request-hop + 1
+          val docHop = {
+            val h = math.min(task.hop_count, 0x7f)
+            if (pageIsRSS && h > 1) 1 else h
+          }
+
           // X11+X12: outlinks → SpiderRequests
           val harvest = task.ufn >= 0 && rules(task.ufn).harvestLinks
           val outs: Seq[FrontierRequest] = if (!harvest) Nil else {
             val links = GbLinks.harvest(norm, nodes, u)
             val seenInPage = new java.util.HashSet[Integer]()
             links.flatMap { l =>
-              // dup-in-page dedup by hash32 of the url (XmlDoc.cpp:27614-27618)
+              // dup-in-page dedup by hash32 of the url (XmlDoc.cpp:27640-27645)
               var uh32 = GbHash.hash32(l.url.url)
               if (uh32 == 0) uh32 = 1
-              if (l.nofollow) None
+              // "we only harvest <link> urls from rss feeds, not href
+              // links" (XmlDoc.cpp:27623-27626) — checked BEFORE the
+              // nofollow skip and the in-page dedup add, like the ref
+              if (pageIsRSS && l.fromAhref) None
+              else if (l.nofollow) None
               else if (seenInPage.contains(uh32)) None
               else {
                 seenInPage.add(uh32)
@@ -591,7 +633,7 @@ object Crawl {
                 else if (lu.hostLen <= 2) None
                 else if (lu.uh48 == task.uh48) None // skip self (XmlDoc.cpp:27957)
                 else {
-                  var hc = task.hop_count + 1
+                  var hc = docHop + 1 // XmlDoc.cpp:27754 (m_hopCount + 1)
                   if (hc > 65535) hc = 65535
                   if (lu.isRoot && !lu.hasQuery) hc = 0 // site root (X13)
                   if (lu.isPingServer) hc = 0
@@ -720,6 +762,35 @@ object Crawl {
         .toDF("start", "cur", "err", "done", "hops")
     }
     st.select(col("start").as("redir_url"), col("cur").as("redir_final"), col("err").as("redir_err"))
+  }
+
+  /** The revised-request re-add (getRevisedSpiderRequest,
+    * XmlDoc.cpp:2330-2367 via the EFAKEFIRSTIP path :2617-2691): for
+    * every fake-firstIp add-url request answered this iteration, re-add
+    * an EXACT copy under the real first ip with the flag cleared — only
+    * m_firstIp changes; siteNumInlinks etc. stay as discovered. The
+    * real ip comes from the host_meta join (the getFirstIp DNS step);
+    * unknown hosts use the same deterministic pseudo-ip fallback as
+    * resolveOutlinks. Bypasses seen-set admission by design: the url IS
+    * seen — this is a keyed re-shard, not a discovery. */
+  def resolveRevised(efakeResults: Dataset[FetchResult],
+                     requests: Dataset[FrontierRequest],
+                     hostMeta: Dataset[HostMeta]): Dataset[FrontierRequest] = {
+    val spark = efakeResults.sparkSession
+    import spark.implicits._
+    import graft.functions.GraftFunctions.{urlHost, gbHash32}
+    val keys = efakeResults.map(r => (r.task.first_ip, r.task.uh48)).toDF("e_ip", "e_uh48")
+    requests.toDF()
+      .join(keys, col("first_ip") === col("e_ip") && col("uh48") === col("e_uh48"), "left_semi")
+      .withColumn("host", urlHost(col("url")))
+      .join(hostMeta.toDF().select(col("host").as("hm_host"), col("first_ip").as("hm_ip")),
+        col("host") === col("hm_host"), "left_outer")
+      .withColumn("fb_ip", gbHash32(col("host")))
+      .withColumn("first_ip", coalesce(col("hm_ip"),
+        when(col("fb_ip") === 0 || col("fb_ip") === -1, lit(1)).otherwise(col("fb_ip"))))
+      .withColumn("flags", col("flags").bitwiseAND(lit(~Flags.FakeFirstIp)))
+      .drop("host", "hm_host", "hm_ip", "fb_ip")
+      .as[FrontierRequest]
   }
 
   /** J5: batch host→(firstIp, siteNumInlinks) resolution as a JOIN on
@@ -989,12 +1060,21 @@ object Crawl {
           err_count = math.max(a.err_count, b.err_count))
       }.map(_._2)
 
+    // revised re-adds for this iteration's EFAKEFIRSTIP answers (the
+    // reference counts these as re-shards, not new urls —
+    // Spider.cpp:4279-4282 skips fakeFirstIp in m_totalNewSpiderRequests)
+    val revised = resolveRevised(
+      results.filter(_.errCode == Errs.EFAKEFIRSTIP), requests, hostMeta)
+
     // STAGE 2 (job 2): the requests delta, with its row count observed
     // in the same job (was a separate re-read+count)
     val obsNew = org.apache.spark.sql.Observation()
-    fresh.toDF().observe(obsNew, count(lit(1)).as("n"))
+    fresh.toDF().withColumn("rev", lit(0))
+      .unionByName(revised.toDF().withColumn("rev", lit(1)))
+      .observe(obsNew, sum(when(col("rev") === 0, 1L).otherwise(0L)).as("n"))
+      .drop("rev")
       .write.mode("overwrite").parquet(s"$d/requests_delta")
-    val newUrls = obsNew.get("n").asInstanceOf[Long]
+    val newUrls = Option(obsNew.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
 
     // politeness state update: last download end per IP; crawl delay per dom
     val ipUpdates = results.groupByKey(_.task.first_ip)
@@ -1085,20 +1165,47 @@ object Crawl {
     val d = snapDir(workdir, i)
     val requests = loadRequests(spark, workdir, i)
     val replies = loadReplies(spark, workdir, i)
-    val sigMask = Flags.IsNewOutlink | Flags.IsInjecting | Flags.IsAddUrl | Flags.IsPageReindex
-    val dedupedReq = requests
+    val dedupedRep = latestReplies(replies)
+    // one-hit wonders (Spider.cpp:13721-13729): a page-reindex or
+    // fake-firstIp request whose url has since been spidered (a reply
+    // under the same (firstIp, uh48) newer than its addedTime) is
+    // dropped — the reindex was served; the fake request was re-added
+    // under the real ip by resolveRevised
+    val answered = dedupedRep.toDF()
+      .select(col("first_ip").as("r_ip"), col("uh48").as("r_uh48"),
+        col("spidered_time").as("r_time"))
+    val oneHitMask = Flags.IsPageReindex | Flags.FakeFirstIp
+    val liveReq = requests.toDF()
+      .join(answered, col("first_ip") === col("r_ip") && col("uh48") === col("r_uh48"), "left_outer")
+      .filter(!(col("flags").bitwiseAND(lit(oneHitMask)) =!= 0L &&
+        col("r_time").isNotNull && col("r_time") > col("added_time")))
+      .drop("r_ip", "r_uh48", "r_time")
+      .as[FrontierRequest]
+    // coexistence signature (Spider.cpp:13779-13789): siteHash32,
+    // hopCount, isNewOutlink, isInjecting, hasContent, isAddUrl,
+    // isPageReindex, forceDelete — different enough to map the url to a
+    // different priority, so both survive; otherwise keep the OLDEST
+    // addedTime (discovery semantics, :13795-13800)
+    val sigMask = Flags.IsNewOutlink | Flags.IsInjecting | Flags.IsAddUrl |
+      Flags.IsPageReindex | Flags.HasContent | Flags.ForceDelete
+    val dedupedReq = liveReq
       .groupByKey(r => (r.uh48, r.site_hash32, r.hop_count, r.flags & sigMask))
       .reduceGroups((a, b) => if (a.added_time <= b.added_time) a else b)
       .map(_._2)
-    val dedupedRep = latestReplies(replies)
     dedupedReq.write.mode("overwrite").parquet(s"$d/requests_full_tmp")
     dedupedRep.write.mode("overwrite").parquet(s"$d/replies_full_tmp")
     loadTitledb(spark, workdir, i).write.mode("overwrite").parquet(s"$d/titledb_full_tmp")
-    // swap in: the full table replaces this snapshot's delta
+    // swap in: the full table replaces this snapshot's delta. The full
+    // targets are deleted too — hadoop rename(src, existing-dir) would
+    // otherwise nest src INSIDE the target (re-compaction of an
+    // already-compacted snapshot, e.g. after an inject-appended delta)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$d/requests_delta"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$d/replies_delta"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$d/titledb_delta"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$d/requests"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$d/replies"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$d/titledb"), true)
     fs.rename(new org.apache.hadoop.fs.Path(s"$d/requests_full_tmp"), new org.apache.hadoop.fs.Path(s"$d/requests"))
     fs.rename(new org.apache.hadoop.fs.Path(s"$d/replies_full_tmp"), new org.apache.hadoop.fs.Path(s"$d/replies"))
     fs.rename(new org.apache.hadoop.fs.Path(s"$d/titledb_full_tmp"), new org.apache.hadoop.fs.Path(s"$d/titledb"))

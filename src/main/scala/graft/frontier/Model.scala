@@ -36,6 +36,12 @@ object Flags {
   val SameSite = 1L << 17
   val WasParentIndexed = 1L << 18
   val ParentIsPermalink = 1L << 19
+  // J3 coexistence-signature bits (Spider.cpp:13779-13789): nothing in
+  // the sandbox sets them yet (no content-bearing injection, no delete
+  // requests), but the compaction signature must key on them so two
+  // requests differing only here coexist like the reference's
+  val HasContent = 1L << 20 // SpiderRequest::m_hasContent
+  val ForceDelete = 1L << 21 // SpiderRequest::m_forceDelete
   // SpiderReply flags (Spider.h:1063-1103)
   val RepIsRSS = 1L << 0
   val RepIsPermalink = 1L << 1
@@ -125,7 +131,8 @@ final case class FetchTask(
     spider_time_ms: Long,
     hop_count: Int,
     seq_in_ip: Int, // dole order within the IP this iteration
-    was_indexed: Boolean = false
+    was_indexed: Boolean = false,
+    req_flags: Long = 0L // request flag bits (EFAKEFIRSTIP lifecycle)
 )
 
 /** S7: one crawled-content record ≅ a titledb titleRec
@@ -170,5 +177,10 @@ object Errs {
   val EDOCBADREDIRECTURL = 32817
   val ELINKLOOP = 32876 // repeating path components (XmlDoc.cpp:4302)
   val EDOCBADCONTENTTYPE = 32811 // bad extension (XmlDoc.cpp:4507-4513)
+  // the add-url DNS hop: a fake-firstIp add-url request is never
+  // downloaded — indexDoc short-circuits (XmlDoc.cpp:2812-2828), the
+  // reply carries EFAKEFIRSTIP under the fake ip and a revised request
+  // is re-added under the real ip (XmlDoc.cpp:2617-2691, 2330-2367)
+  val EFAKEFIRSTIP = 32911
   val EDNSTIMEDOUT: Int = graft.rules.UrlFilters.EDNSTIMEDOUT
 }

@@ -1,0 +1,217 @@
+package graft.plans
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One candidate in the winner heap (a doledb candidate row). */
+final class WinnerItem(
+    val uh48: Long, val url: UTF8String, val priority: Int, val ufn: Int,
+    val timeMs: Long, val hop: Int, val ipMax: Int, val wasIndexed: Boolean,
+    val reqFlags: Long)
+
+/** Bounded winner heap: keeps the ≤ k best candidates in winner-tree key
+  * order — priority DESC, hopCount ASC, spiderTimeMS ASC, uh48 ASC (the
+  * reference's 192-bit winner-tree key: firstIp, 255-priority, hopCount,
+  * spiderTimeMS, uh48 — Spider.cpp:3461-3497; insertion comparison
+  * :4856-4893, whose overdue-time clamp reduces to exactly this order
+  * because the scheduler only feeds it candidates already eligible, i.e.
+  * spiderTimeMS <= now). Binary max-heap with the WORST item at the
+  * root, so a full heap evicts in O(log k). */
+final class WinnerHeap(val k: Int) {
+  var arr: Array[WinnerItem] = new Array[WinnerItem](math.min(k, 16))
+  var size: Int = 0
+
+  /** true if a ranks strictly WORSE than b in winner order. */
+  @inline def worse(a: WinnerItem, b: WinnerItem): Boolean = {
+    if (a.priority != b.priority) a.priority < b.priority
+    else if (a.hop != b.hop) a.hop > b.hop
+    else if (a.timeMs != b.timeMs) a.timeMs > b.timeMs
+    else a.uh48 > b.uh48
+  }
+
+  private def siftUp(i0: Int): Unit = {
+    var i = i0
+    while (i > 0) {
+      val p = (i - 1) >> 1
+      if (worse(arr(i), arr(p))) { val t = arr(i); arr(i) = arr(p); arr(p) = t; i = p }
+      else return
+    }
+  }
+
+  private def siftDown(i0: Int): Unit = {
+    var i = i0
+    while (true) {
+      val l = 2 * i + 1
+      val r = l + 1
+      var w = i
+      if (l < size && worse(arr(l), arr(w))) w = l
+      if (r < size && worse(arr(r), arr(w))) w = r
+      if (w == i) return
+      val t = arr(i); arr(i) = arr(w); arr(w) = t; i = w
+    }
+  }
+
+  def insert(it: WinnerItem): Unit = {
+    if (size < k) {
+      if (size == arr.length) {
+        val n = new Array[WinnerItem](math.min(k, arr.length * 2))
+        System.arraycopy(arr, 0, n, 0, size)
+        arr = n
+      }
+      arr(size) = it
+      size += 1
+      siftUp(size - 1)
+    } else if (worse(arr(0), it)) { // strictly better than the worst kept
+      arr(0) = it
+      siftDown(0)
+    } // ties keep the incumbent ("all tied, keep it the same", :4887)
+  }
+
+  def mergeFrom(o: WinnerHeap): Unit = {
+    var i = 0
+    while (i < o.size) { insert(o.arr(i)); i += 1 }
+  }
+
+  /** Items best-first (the dole order; seq_in_ip = index). */
+  def sorted: Array[WinnerItem] = {
+    val out = java.util.Arrays.copyOf(arr, size)
+    java.util.Arrays.sort(out, (a: WinnerItem, b: WinnerItem) => if (worse(a, b)) 1 else if (worse(b, a)) -1 else 0)
+    out
+  }
+}
+
+object WinnerTopK {
+  /** Output element type (one doledb winner). */
+  val itemType: StructType = StructType(Seq(
+    StructField("uh48", LongType, nullable = false),
+    StructField("url", StringType, nullable = false),
+    StructField("priority", IntegerType, nullable = false),
+    StructField("ufn", IntegerType, nullable = false),
+    StructField("spider_time_ms", LongType, nullable = false),
+    StructField("hop_count", IntegerType, nullable = false),
+    StructField("ip_max", IntegerType, nullable = false),
+    StructField("was_indexed", BooleanType, nullable = false),
+    StructField("req_flags", LongType, nullable = false)))
+}
+
+/** A2 winner selection as a BOUNDED-state aggregate (SURVEY §4): the
+  * reference's winner tree keeps at most MAX_WINNER_NODES(=2000,
+  * Spider.cpp:60) candidates per firstIp while SCANNING spiderdb — it
+  * never sorts the whole IP's request list. The Spark analogue is this
+  * TypedImperativeAggregate: O(k) state per IP and O(n log k) streaming
+  * insertion, replacing the `row_number() OVER (PARTITION BY first_ip
+  * ORDER BY ...)` window whose per-IP FULL SORT buffers 10^7 rows in one
+  * task at a skewed IP (the known 100-TB scale-killer; VERDICT r2).
+  * Output is byte-identical to the window top-k: an array of winners in
+  * dole order, to be posexploded (pos = seq_in_ip). */
+case class WinnerTopK(
+    uh48: Expression, url: Expression, priority: Expression, ufn: Expression,
+    timeMs: Expression, hop: Expression, ipMax: Expression, wasIndexed: Expression,
+    reqFlags: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[WinnerHeap] {
+
+  override def children: Seq[Expression] =
+    Seq(uh48, url, priority, ufn, timeMs, hop, ipMax, wasIndexed, reqFlags)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(WinnerTopK.itemType, containsNull = false)
+  override def prettyName: String = "winner_topk"
+
+  override def createAggregationBuffer(): WinnerHeap = new WinnerHeap(k)
+
+  override def update(b: WinnerHeap, in: InternalRow): WinnerHeap = {
+    b.insert(new WinnerItem(
+      uh48.eval(in).asInstanceOf[Long],
+      url.eval(in).asInstanceOf[UTF8String].clone(), // detach from the scan buffer
+      priority.eval(in).asInstanceOf[Int],
+      ufn.eval(in).asInstanceOf[Int],
+      timeMs.eval(in).asInstanceOf[Long],
+      hop.eval(in).asInstanceOf[Int],
+      ipMax.eval(in).asInstanceOf[Int],
+      wasIndexed.eval(in).asInstanceOf[Boolean],
+      reqFlags.eval(in).asInstanceOf[Long]))
+    b
+  }
+
+  override def merge(b: WinnerHeap, o: WinnerHeap): WinnerHeap = { b.mergeFrom(o); b }
+
+  override def eval(b: WinnerHeap): Any = {
+    val items = b.sorted
+    val rows = new Array[Any](items.length)
+    var i = 0
+    while (i < items.length) {
+      val it = items(i)
+      rows(i) = new GenericInternalRow(Array[Any](
+        it.uh48, it.url, it.priority, it.ufn, it.timeMs, it.hop, it.ipMax,
+        it.wasIndexed, it.reqFlags))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(b: WinnerHeap): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val o = new DataOutputStream(bos)
+    o.writeInt(b.size)
+    var i = 0
+    while (i < b.size) {
+      val it = b.arr(i)
+      o.writeLong(it.uh48)
+      val ub = it.url.getBytes
+      o.writeInt(ub.length); o.write(ub)
+      o.writeInt(it.priority); o.writeInt(it.ufn)
+      o.writeLong(it.timeMs); o.writeInt(it.hop); o.writeInt(it.ipMax)
+      o.writeBoolean(it.wasIndexed); o.writeLong(it.reqFlags)
+      i += 1
+    }
+    o.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): WinnerHeap = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val h = new WinnerHeap(k)
+    var i = 0
+    while (i < n) {
+      val uh = in.readLong()
+      val ub = new Array[Byte](in.readInt()); in.readFully(ub)
+      val pri = in.readInt(); val uf = in.readInt()
+      val t = in.readLong(); val hp = in.readInt(); val im = in.readInt()
+      val wi = in.readBoolean(); val fl = in.readLong()
+      // heap order is preserved by straight copy (same comparator)
+      h.insert(new WinnerItem(uh, UTF8String.fromBytes(ub), pri, uf, t, hp, im, wi, fl))
+      i += 1
+    }
+    h
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): WinnerTopK =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): WinnerTopK =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): WinnerTopK =
+    copy(uh48 = cs(0), url = cs(1), priority = cs(2), ufn = cs(3), timeMs = cs(4),
+      hop = cs(5), ipMax = cs(6), wasIndexed = cs(7), reqFlags = cs(8))
+}
+
+object WinnerTopKColumn {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.GraftShim.{toColumn, toExpression}
+
+  /** winner_topk(...) as a Column aggregate. */
+  def apply(uh48: Column, url: Column, priority: Column, ufn: Column,
+            timeMs: Column, hop: Column, ipMax: Column, wasIndexed: Column,
+            reqFlags: Column, k: Int): Column =
+    toColumn(WinnerTopK(
+      toExpression(uh48), toExpression(url), toExpression(priority),
+      toExpression(ufn), toExpression(timeMs), toExpression(hop),
+      toExpression(ipMax), toExpression(wasIndexed), toExpression(reqFlags), k)
+      .toAggregateExpression())
+}

@@ -1,12 +1,10 @@
 package graft.tools
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.ExplainMode
-import graft.frontier._
-import graft.core.GbHash
-import java.nio.file.{Files, Paths}
 
-/** Ad-hoc driver used by the verify workflow. Currently: dump formatted
-  * physical plans of the key operators to PLANS.md. */
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.frontier._
+
+/** Ad-hoc driver for verifying library behavior (see .claude/skills/verify). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -14,60 +12,25 @@ object Scratch {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
-
-    val sb = new StringBuilder
-    sb.append("# PLANS — formatted physical plans of the key operators\n\n")
-    sb.append("Generated by `graft.tools.Scratch`. What to look for:\n")
-    sb.append("- the scheduling pass has ONE Exchange (the repartition by first_ip);\n")
-    sb.append("  the url-filter scoring and spider-time math are plain Project\n")
-    sb.append("  expressions inside WholeStageCodegen spans\n")
-    sb.append("- the frontier scan for the seen set prunes to the uh48 column\n")
-    sb.append("  (ReadSchema) — parquet column pruning\n\n")
-
-    // 1) scheduler plan
-    val work = Files.createTempDirectory("graft_plans").toString
-    val cfg = Crawl.Config()
-    Crawl.run(spark, work, Corpus.micro, 1, cfg)
-    val reqs = Crawl.loadRequests(spark, work, 1)
-    val reps = Crawl.loadReplies(spark, work, 1)
-    val ip = spark.read.parquet(s"${Crawl.snapDir(work, 1)}/ip_state").as[IpState]
-    val dom = spark.read.parquet(s"${Crawl.snapDir(work, 1)}/dom_state").as[DomState]
-    val plan = Crawl.schedule(reqs, reps, ip, dom, cfg, 2)
-    sb.append("## schedule (F1+A1+A2+A4): frontier scan → score → winner window\n\n```\n")
-    sb.append(plan.queryExecution.explainString(ExplainMode.fromString("formatted")).take(7000))
-    sb.append("\n```\n\n")
-
-    // 2) seen-set column pruning
-    val seenScan = Crawl.loadRequests(spark, work, 1).select("uh48")
-    sb.append("## seen-set scan (J2): uh48-only column pruning\n\n```\n")
-    sb.append(seenScan.queryExecution.explainString(ExplainMode.fromString("formatted")).take(2500))
-    sb.append("\n```\n")
-    sb.append("""
-## Scale caveats (what changes at 10^10 urls / 1000 executors)
-
-- **Replies join**: at sandbox scale the latest-reply-per-key aggregate
-  arrives via BroadcastExchange, so the schedule pass has exactly ONE
-  frontier exchange. At 10^10 the reply table is seen-set-sized; the
-  join degrades to a sort-merge join — acceptable because requests and
-  replies share the (first_ip, uh48) clustering (bucketed Iceberg sort
-  order on a cluster), so the SMJ reads co-bucketed data and the
-  "one frontier exchange" claim becomes "no residual shuffle beyond the
-  bucketed layout", NOT O(1) exchanges.
-- **inlink_state / ip_state / dom_state**: broadcast here; at scale
-  inlink_state is keyed (first_ip, uh48) and co-buckets with the
-  frontier; ip/dom state stay O(#ips)/O(#doms) and broadcast far longer.
-- **Winner window (A2)**: row_number over partitionBy(first_ip) sorts
-  each IP's slice; a pathological IP at the A8 overflow cap sorts 10^7
-  rows in one task. The scale-safe form is a bounded-heap
-  TypedImperativeAggregate keeping MAX_WINNER_NODES=2000 per IP
-  (roadmap; the A8 guard bounds the damage meanwhile).
-- **Scan-time duplicate merge**: the hot path relies on the write-time
-  (first_ip, uh48) uniqueness invariant (admission anti-join + J4 merge
-  + compaction). Any future blind append must dedup or re-enable the
-  scan-time merge; compaction re-establishes the invariant.
-""")
-    Files.writeString(Paths.get("PLANS.md"), sb.toString)
-    println("wrote PLANS.md")
+    val work = java.nio.file.Files.createTempDirectory("graft_scratch").toString
+    val res = Crawl.run(spark, work, Corpus.micro, 8)
+    res.zipWithIndex.foreach { case (r, i) =>
+      println(s"iter ${i + 1}: scheduled=${r.scheduled} fetched=${r.fetched} robots=${r.robotsDenied} errs=${r.errors} new=${r.newUrls}")
+    }
+    val logs = (1 to 8).map(i => spark.read.parquet(s"${Crawl.snapDir(work, i)}/fetch_log")).reduce(_ unionByName _)
+    println("--- feed fetches:")
+    logs.filter(col("url").contains("feed")).orderBy("iteration", "url").show(20, false)
+    val reqs = Crawl.loadRequests(spark, work, 8)
+    println("--- host5 requests (s1/leaf1 must be hop 2 — the forced-hop pin):")
+    reqs.filter(col("url").contains("h5.test")).select("url", "hop_count", "flags").orderBy("url").show(30, false)
+    println("--- ahref targets (h6/s2 via feed2 desc of h5 (5+9=14->h14? check), h2/s2 via feed desc) present ONLY if legitimately linked:")
+    reqs.filter(col("url") === "http://www.h6.test/s2/" || col("url") === "http://www.h2.test/s2/").select("url", "hop_count").show(10, false)
+    println("--- seed root requests (revised under real ip after compaction @8):")
+    reqs.filter(col("hop_count") === 0 && col("url").rlike("^http://www.h[015].test/$"))
+      .select("url", "first_ip", "flags").orderBy("url", "first_ip").show(10, false)
+    println("--- EFAKE replies present:")
+    Crawl.loadReplies(spark, work, 8).filter(col("err_code") === Errs.EFAKEFIRSTIP)
+      .select("uh48", "first_ip", "spidered_time").show(5, false)
     spark.stop()
   }
 }

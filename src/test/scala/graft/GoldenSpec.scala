@@ -97,19 +97,19 @@ class GoldenSpec extends AnyFunSuite {
     }
   }
 
-  test("crawl order + seen set golden (7 iterations, micro corpus)") {
+  test("crawl order + seen set golden (8 iterations, micro corpus)") {
     val spark = SparkTestSession.spark
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft_goldenspec").toString
-    Crawl.run(spark, work, Corpus.micro, 7)
-    val got = (1 to 7).flatMap { i =>
+    Crawl.run(spark, work, Corpus.micro, 8)
+    val got = (1 to 8).flatMap { i =>
       spark.read.parquet(s"${Crawl.snapDir(work, i)}/fetch_log")
         .select("iteration", "first_ip", "seq", "url", "priority", "err_code")
         .as[(Int, Int, Int, String, Int, Int)].collect()
         .sortBy(r => (r._1, r._2.toLong & 0xffffffffL, r._3))
     }.map(r => s"${r._1}\t${r._2}\t${r._3}\t${r._4}\t${r._5}\t${r._6}")
     assert(got == golden("crawl_order.tsv"), "crawl order drifted from golden")
-    val seen = Crawl.loadRequests(spark, work, 7).select("uh48").as[Long].collect().sorted.map(_.toString).toSeq
+    val seen = Crawl.loadRequests(spark, work, 8).select("uh48").as[Long].collect().sorted.map(_.toString).toSeq
     assert(seen == golden("seen_set.tsv"), "seen set drifted from golden")
   }
 }

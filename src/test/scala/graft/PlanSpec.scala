@@ -58,5 +58,10 @@ class PlanSpec extends AnyFunSuite {
     // the reply/state/inlink sides broadcast at this scale
     val exchanges = "Exchange hashpartitioning\\(first_ip".r.findAllIn(p).length
     assert(exchanges == 1, s"expected ONE frontier exchange on first_ip, got $exchanges:\n$p")
+    // A2 winner selection is the BOUNDED-heap aggregate, not a window:
+    // a window's per-IP full sort buffers an entire skewed IP in one
+    // task (the 100-TB scale-killer); the heap keeps O(k) state
+    assert(!p.contains("Window"), s"winner selection must not be a Window:\n$p")
+    assert(p.contains("winner_topk"), s"expected the winner_topk aggregate:\n$p")
   }
 }

@@ -33,8 +33,9 @@ class TitledbSpec extends AnyFunSuite {
   test("reindex (S3): re-queues a crawled url immediately, refetch updates titledb") {
     val work = java.nio.file.Files.createTempDirectory("graft_reindex").toString
     val cfg = Crawl.Config()
-    Crawl.run(spark, work, Corpus.micro, 3, cfg)
-    val url = "http://www.h0.test/s1/" // crawled at iteration 2; NOT a seed (its fake-ip slot is free)
+    Crawl.run(spark, work, Corpus.micro, 4, cfg)
+    val url = "http://www.h0.test/s1/" // crawled at iteration 3 (seeds take the
+      // EFAKEFIRSTIP DNS hop at iter 1); NOT a seed (its fake-ip slot is free)
     val before = Crawl.loadTitledb(spark, work, Crawl.latestSnapshot(work).get)
       .filter(_.url == url).collect().head
     val n = Crawl.reindex(spark, work, Seq(url), cfg)
