@@ -844,8 +844,11 @@ object Crawl {
     val tagged = SeenBloom.tagged(candidates, bloomTable, cfg.seenBuckets)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val definitelyNew = tagged.filter(!_._2).map(_._1)
+    // no distinct() on the seen side: left_anti is set-semantics already,
+    // and the distinct was a full extra shuffle of the seen set per
+    // iteration (uh48 is near-unique in requests by the write invariant)
     val checked = tagged.filter(_._2).map(_._1)
-      .join(existing.select("uh48").distinct(), Seq("uh48"), "left_anti").as[FrontierRequest]
+      .join(existing.select("uh48"), Seq("uh48"), "left_anti").as[FrontierRequest]
     definitelyNew.union(checked)
   }
 
@@ -967,6 +970,18 @@ object Crawl {
     else spark.emptyDataset[InlinkState]
   }
 
+  /** A8 state: exact per-IP request counts as of snapshot i, maintained
+    * INCREMENTALLY from each delta (+ recomputed at compaction, which
+    * drops rows) so the overflow guard no longer pays an O(frontier)
+    * groupBy every iteration. Falls back to the full count for snapshots
+    * written before this table existed (resume compat). */
+  def loadIpCounts(spark: SparkSession, workdir: String, i: Int): DataFrame = {
+    val path = s"${snapDir(workdir, i)}/ip_counts"
+    if (new java.io.File(path).exists) spark.read.parquet(path)
+    else loadRequests(spark, workdir, i).groupBy("first_ip")
+      .agg(count(lit(1)).as("n"))
+  }
+
   def writeManifest(workdir: String, i: Int, metrics: Seq[MetricsRow]): Unit = {
     val d = snapDir(workdir, i)
     val m = metrics.map(x => s"""{"partition":${x.partition},"scheduled":${x.scheduled},"fetched":${x.fetched},"new_urls":${x.new_urls},"dups_dropped":${x.dups_dropped},"wall_ms":${x.wall_ms}}""").mkString("[", ",", "]")
@@ -1005,9 +1020,13 @@ object Crawl {
     val t0 = System.currentTimeMillis()
     val d = snapDir(workdir, i)
 
-    // A8 overflow guard: IPs with too many requests stop accepting outlinks
-    val overflowIps = requests.groupBy("first_ip").count()
-      .filter(col("count") > cfg.overflowCap).select("first_ip")
+    // A8 overflow guard: IPs with too many requests stop accepting
+    // outlinks. Counts come from the incrementally-maintained ip_counts
+    // state (identical values to a requests groupBy, without the
+    // per-iteration O(frontier) scan).
+    val ipCounts = loadIpCounts(spark, workdir, i - 1)
+    val overflowIps = ipCounts
+      .filter(col("n") > cfg.overflowCap).select("first_ip")
 
     val batch = schedule(requests, replies, ipState, domState, cfg, i, inlinks)
     val results = fetch(batch, pages, robots, cfg, i, redirClosure)
@@ -1066,16 +1085,6 @@ object Crawl {
     val revised = resolveRevised(
       results.filter(_.errCode == Errs.EFAKEFIRSTIP), requests, hostMeta)
 
-    // STAGE 2 (job 2): the requests delta, with its row count observed
-    // in the same job (was a separate re-read+count)
-    val obsNew = org.apache.spark.sql.Observation()
-    fresh.toDF().withColumn("rev", lit(0))
-      .unionByName(revised.toDF().withColumn("rev", lit(1)))
-      .observe(obsNew, sum(when(col("rev") === 0, 1L).otherwise(0L)).as("n"))
-      .drop("rev")
-      .write.mode("overwrite").parquet(s"$d/requests_delta")
-    val newUrls = Option(obsNew.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
-
     // politeness state update: last download end per IP; crawl delay per dom
     val ipUpdates = results.groupByKey(_.task.first_ip)
       .mapGroups((ip, it) => IpState(ip, it.map(_.downloadEndMs).max))
@@ -1111,25 +1120,48 @@ object Crawl {
       .agg(slice(sort_array(collect_set(col("cblock"))), 1, 20).as("cblocks"))
       .as[InlinkState]
 
-    // STAGE 3: the five remaining snapshot outputs are independent of
-    // each other — submit them as CONCURRENT Spark jobs (results is
-    // persisted, the session scheduler interleaves them) instead of five
-    // sequential driver round-trips. Per-iteration fixed cost is the
-    // full-loop bottleneck at small batch sizes (VERDICT r1).
-    {
+    // STAGE 2: everything else is one CONCURRENT write graph (results is
+    // already materialized in cache by the fetch_log job, so concurrent
+    // jobs share partitions instead of recomputing the fetch). The only
+    // ordering edges are requests_delta → {seen_bloom, ip_counts}, which
+    // both read the just-written (tiny) delta. Per-iteration fixed cost
+    // is the full-loop bottleneck at small batch sizes (VERDICT r1/r2);
+    // this collapses the former 3 sequential barriers into 2.
+    val newUrls = {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
+      val fDelta = Future {
+        // the requests delta, with its new-url count observed in the same
+        // job (revised EFAKEFIRSTIP re-adds are re-shards, not new urls —
+        // Spider.cpp:4279-4282 skips fakeFirstIp in m_totalNewSpiderRequests)
+        val obsNew = org.apache.spark.sql.Observation()
+        fresh.toDF().withColumn("rev", lit(0))
+          .unionByName(revised.toDF().withColumn("rev", lit(1)))
+          .observe(obsNew, sum(when(col("rev") === 0, 1L).otherwise(0L)).as("n"))
+          .drop("rev")
+          .write.mode("overwrite").parquet(s"$d/requests_delta")
+        Option(obsNew.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      }
+      val fBloom = fDelta.map { _ =>
+        // incremental seen-bloom maintenance: only touched buckets
+        // rewritten, fed from the just-written delta
+        SeenBloom.update(bloomTable,
+          spark.read.parquet(s"$d/requests_delta").select("uh48").as[java.lang.Long],
+          cfg.seenBuckets, cfg.expectedSeenPerBucket, cfg.bloomFpp)
+          .write.mode("overwrite").parquet(s"$d/seen_bloom")
+      }
+      val fCounts = fDelta.map { _ =>
+        // A8 state roll-forward: prior counts + this delta's counts
+        ipCounts
+          .unionByName(spark.read.parquet(s"$d/requests_delta")
+            .groupBy("first_ip").agg(count(lit(1)).as("n")))
+          .groupBy("first_ip").agg(sum(col("n")).as("n"))
+          .write.mode("overwrite").parquet(s"$d/ip_counts")
+      }
       val writes = Seq(
+        fBloom, fCounts,
         Future { repliesOf(results, replies, cfg, i).write.mode("overwrite").parquet(s"$d/replies_delta") },
-        Future {
-          // incremental seen-bloom maintenance: only touched buckets
-          // rewritten, fed from the just-written (tiny) delta
-          SeenBloom.update(bloomTable,
-            spark.read.parquet(s"$d/requests_delta").select("uh48").as[java.lang.Long],
-            cfg.seenBuckets, cfg.expectedSeenPerBucket, cfg.bloomFpp)
-            .write.mode("overwrite").parquet(s"$d/seen_bloom")
-        },
         Future { mergedIp.write.mode("overwrite").parquet(s"$d/ip_state") },
         Future { mergedDom.write.mode("overwrite").parquet(s"$d/dom_state") },
         Future { mergedInl.write.mode("overwrite").parquet(s"$d/inlink_state") },
@@ -1144,6 +1176,7 @@ object Crawl {
         }
       )
       Await.result(Future.sequence(writes), Duration.Inf)
+      Await.result(fDelta, Duration.Inf)
     }
 
     val wall = System.currentTimeMillis() - t0
@@ -1185,16 +1218,39 @@ object Crawl {
     // hopCount, isNewOutlink, isInjecting, hasContent, isAddUrl,
     // isPageReindex, forceDelete — different enough to map the url to a
     // different priority, so both survive; otherwise keep the OLDEST
-    // addedTime (discovery semantics, :13795-13800)
+    // addedTime (discovery semantics, :13795-13800). Keyed per
+    // (first_ip, uh48) like the reference's SHARD-local dedup (spiderdb
+    // keys lead with firstIp; a url re-sharded under another ip is a
+    // different record) — also the better shuffle key: co-partitioned
+    // with every other frontier exchange.
     val sigMask = Flags.IsNewOutlink | Flags.IsInjecting | Flags.IsAddUrl |
       Flags.IsPageReindex | Flags.HasContent | Flags.ForceDelete
     val dedupedReq = liveReq
-      .groupByKey(r => (r.uh48, r.site_hash32, r.hop_count, r.flags & sigMask))
+      .groupByKey(r => (r.first_ip, r.uh48, r.site_hash32, r.hop_count, r.flags & sigMask))
       .reduceGroups((a, b) => if (a.added_time <= b.added_time) a else b)
       .map(_._2)
-    dedupedReq.write.mode("overwrite").parquet(s"$d/requests_full_tmp")
-    dedupedRep.write.mode("overwrite").parquet(s"$d/replies_full_tmp")
-    loadTitledb(spark, workdir, i).write.mode("overwrite").parquet(s"$d/titledb_full_tmp")
+    // the three table rewrites are independent — run them as concurrent
+    // jobs (same shape as the iteration write graph); the bloom + ip
+    // count rebuilds chain off the compacted requests
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fReq = Future {
+        dedupedReq.write.mode("overwrite").parquet(s"$d/requests_full_tmp")
+        // rebuild the partitioned bloom from the compacted table (fpp
+        // hygiene) and the A8 counts (compaction drops rows)
+        val compacted = spark.read.parquet(s"$d/requests_full_tmp")
+        SeenBloom.build(compacted.select("uh48").as[java.lang.Long],
+          cfg.seenBuckets, cfg.expectedSeenPerBucket, cfg.bloomFpp)
+          .write.mode("overwrite").parquet(s"$d/seen_bloom_full_tmp")
+        compacted.groupBy("first_ip").agg(count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(s"$d/ip_counts_full_tmp")
+      }
+      val fRep = Future { dedupedRep.write.mode("overwrite").parquet(s"$d/replies_full_tmp") }
+      val fTitle = Future { loadTitledb(spark, workdir, i).write.mode("overwrite").parquet(s"$d/titledb_full_tmp") }
+      Await.result(Future.sequence(Seq(fReq, fRep, fTitle)), Duration.Inf)
+    }
     // swap in: the full table replaces this snapshot's delta. The full
     // targets are deleted too — hadoop rename(src, existing-dir) would
     // otherwise nest src INSIDE the target (re-compaction of an
@@ -1206,13 +1262,13 @@ object Crawl {
     fs.delete(new org.apache.hadoop.fs.Path(s"$d/requests"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$d/replies"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$d/titledb"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$d/seen_bloom"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$d/ip_counts"), true)
     fs.rename(new org.apache.hadoop.fs.Path(s"$d/requests_full_tmp"), new org.apache.hadoop.fs.Path(s"$d/requests"))
     fs.rename(new org.apache.hadoop.fs.Path(s"$d/replies_full_tmp"), new org.apache.hadoop.fs.Path(s"$d/replies"))
     fs.rename(new org.apache.hadoop.fs.Path(s"$d/titledb_full_tmp"), new org.apache.hadoop.fs.Path(s"$d/titledb"))
-    // rebuild the partitioned bloom from the compacted table (fpp hygiene)
-    SeenBloom.build(spark.read.parquet(s"$d/requests").select("uh48").as[java.lang.Long],
-      cfg.seenBuckets, cfg.expectedSeenPerBucket, cfg.bloomFpp)
-      .write.mode("overwrite").parquet(s"$d/seen_bloom")
+    fs.rename(new org.apache.hadoop.fs.Path(s"$d/seen_bloom_full_tmp"), new org.apache.hadoop.fs.Path(s"$d/seen_bloom"))
+    fs.rename(new org.apache.hadoop.fs.Path(s"$d/ip_counts_full_tmp"), new org.apache.hadoop.fs.Path(s"$d/ip_counts"))
   }
 
   /** Bootstrap snapshot 0 from seeds (full tables). */
@@ -1223,6 +1279,8 @@ object Crawl {
     SeenBloom.build(spark.read.parquet(s"$d/requests").select("uh48").as[java.lang.Long],
       cfg.seenBuckets, cfg.expectedSeenPerBucket, cfg.bloomFpp)
       .write.mode("overwrite").parquet(s"$d/seen_bloom")
+    spark.read.parquet(s"$d/requests").groupBy("first_ip")
+      .agg(count(lit(1)).as("n")).write.mode("overwrite").parquet(s"$d/ip_counts")
     spark.emptyDataset[FrontierReply].write.mode("overwrite").parquet(s"$d/replies")
     spark.emptyDataset[IpState].write.mode("overwrite").parquet(s"$d/ip_state")
     spark.emptyDataset[DomState].write.mode("overwrite").parquet(s"$d/dom_state")
@@ -1279,10 +1337,18 @@ object Crawl {
       reqs.map(r => java.lang.Long.valueOf(r.uh48)),
       cfg.seenBuckets, cfg.expectedSeenPerBucket, cfg.bloomFpp)
       .write.mode("overwrite").parquet(s"${snapDir(workdir, i)}/seen_bloom_tmp")
+    // A8 state roll-forward for the injected rows
+    loadIpCounts(spark, workdir, i)
+      .unionByName(fresh.groupBy("first_ip").agg(count(lit(1)).as("n")))
+      .groupBy("first_ip").agg(sum(col("n")).as("n"))
+      .write.mode("overwrite").parquet(s"${snapDir(workdir, i)}/ip_counts_tmp")
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"${snapDir(workdir, i)}/seen_bloom"), true)
     fs.rename(new org.apache.hadoop.fs.Path(s"${snapDir(workdir, i)}/seen_bloom_tmp"),
       new org.apache.hadoop.fs.Path(s"${snapDir(workdir, i)}/seen_bloom"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"${snapDir(workdir, i)}/ip_counts"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"${snapDir(workdir, i)}/ip_counts_tmp"),
+      new org.apache.hadoop.fs.Path(s"${snapDir(workdir, i)}/ip_counts"))
     fresh.unpersist()
     reqs.unpersist()
     n
