@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 
 import graft.core.{GbHash, GbXml}
@@ -94,6 +95,49 @@ object Bench {
     (n / secs, scheduled, secs)
   }
 
+  /** A2 skew microbench: top-2000-per-IP selection where ONE ip holds
+    * `n` rows — the regime where `row_number() OVER (PARTITION BY
+    * first_ip ...)` buffers and fully sorts the whole IP in one task,
+    * while the bounded-heap WinnerTopK keeps O(k) state (VERDICT r2 #2).
+    * Same input, same output rows; wall seconds for each shape. */
+  private def skewKernel(cpus: Int, n: Long, k: Int): (Double, Double) = {
+    val spark = newSession(cpus)
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val df = spark.range(n).select(
+      lit(42).as("first_ip"),
+      col("id").as("uh48"),
+      concat(lit("http://skew.test/p"), col("id")).as("url"),
+      (col("id") % 127).cast("int").as("priority"),
+      lit(0).as("ufn"),
+      (col("id") % 100000).as("spider_time_ms"),
+      (col("id") % 7).cast("int").as("hop_count"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df.count() // materialize
+    def heapOnce(): Long = {
+      val winners = graft.plans.WinnerTopKColumn(
+        col("uh48"), col("url"), col("priority"), col("ufn"),
+        col("spider_time_ms"), col("hop_count"), lit(k), lit(false), lit(0L),
+        lit(0), lit(0), k)
+      df.groupBy(col("first_ip")).agg(winners.as("ws"))
+        .select(posexplode(col("ws"))).count()
+    }
+    def windowOnce(): Long = {
+      val w = Window.partitionBy(col("first_ip"))
+        .orderBy(col("priority").desc, col("hop_count").asc, col("spider_time_ms").asc, col("uh48").asc)
+      df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k).count()
+    }
+    heapOnce(); windowOnce() // warmup
+    def time(f: () => Long): Double = {
+      val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+    }
+    val heapSecs = median((1 to 3).map(_ => time(heapOnce _)))
+    val windowSecs = median((1 to 3).map(_ => time(windowOnce _)))
+    df.unpersist()
+    spark.stop()
+    (heapSecs, windowSecs)
+  }
+
   /** Extraction kernel: pages parsed+extracted/sec over the bench corpus. */
   private def extractKernel(cpus: Int, spec: Corpus.Spec, reps: Int = 3): (Double, Long, Double) = {
     val spark = newSession(cpus)
@@ -155,7 +199,9 @@ object Bench {
     val lo = 2
     val hi = 8
     val frontierN = sys.env.getOrElse("SPARK_GRAFT_BENCH_FRONTIER", "32000000").toLong
-    val pairsN = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "2").toInt
+    // ≥4 pairs: a 2-pair "median" is a mean and did not reproduce under
+    // the driver two rounds running (VERDICT r2 #4)
+    val pairsN = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "4").toInt
 
     // Each (lo, hi) session pair runs back-to-back so slow drift in host
     // load cancels inside the ratio; efficiency = MEDIAN of the per-pair
@@ -182,6 +228,10 @@ object Bench {
     val exEff = median(exPairs.map(p => (p._2._1 / p._1._1) / (hi.toDouble / lo)))
     val (maxExRate, _, _) = extractKernel(math.max(cpus, 16), Corpus.bench)
 
+    // phase 2b: A2 skew — one IP with 1M rows, heap vs window
+    val skewN = sys.env.getOrElse("SPARK_GRAFT_BENCH_SKEW", "1000000").toLong
+    val (skewHeapSecs, skewWindowSecs) = skewKernel(math.min(cpus, 8), skewN, 2000)
+
     // phase 3: full loop (includes all per-iteration fixed costs)
     val iters = 6
     val (loLoopSched, loLoopFetched, loUrls, loLoopSecs) = crawlLoop(lo, iters)
@@ -191,7 +241,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val crawlJson =
-      f"""{"lo_cpus":$lo,"hi_cpus":$hi,"frontier_rows":$frontierN,"schedule_urls_per_sec_lo":$loSchedRate%.0f,"schedule_urls_per_sec_hi":$hiSchedRate%.0f,"schedule_scaling_efficiency":$schedEff%.3f,"schedule_urls_per_sec_max":$maxSchedRate%.0f,"extract_pages_per_sec_lo":$loExRate%.0f,"extract_pages_per_sec_hi":$hiExRate%.0f,"extract_scaling_efficiency":$exEff%.3f,"extract_pages_per_sec_max":$maxExRate%.0f,"loop_scheduled_per_sec_lo":$loLoopSched%.1f,"loop_scheduled_per_sec_hi":$hiLoopSched%.1f,"loop_scaling_efficiency":$loopEff%.3f,"loop_urls":$hiUrls}"""
+      f"""{"lo_cpus":$lo,"hi_cpus":$hi,"frontier_rows":$frontierN,"schedule_urls_per_sec_lo":$loSchedRate%.0f,"schedule_urls_per_sec_hi":$hiSchedRate%.0f,"schedule_scaling_efficiency":$schedEff%.3f,"schedule_urls_per_sec_max":$maxSchedRate%.0f,"extract_pages_per_sec_lo":$loExRate%.0f,"extract_pages_per_sec_hi":$hiExRate%.0f,"extract_scaling_efficiency":$exEff%.3f,"extract_pages_per_sec_max":$maxExRate%.0f,"loop_scheduled_per_sec_lo":$loLoopSched%.1f,"loop_scheduled_per_sec_hi":$hiLoopSched%.1f,"loop_scaling_efficiency":$loopEff%.3f,"loop_urls":$hiUrls,"skew_rows":$skewN,"skew_heap_secs":$skewHeapSecs%.2f,"skew_window_secs":$skewWindowSecs%.2f}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl":$crawlJson}""")
 
     val bench =
@@ -230,6 +280,20 @@ object Bench {
          |Wall times: schedule $loSchedSecs%.1f s → $hiSchedSecs%.1f s; extract
          |$loExSecs%.1f s → $hiExSecs%.1f s; loop $loLoopSecs%.1f s → $hiLoopSecs%.1f s
          |($loUrls → $hiUrls urls scheduled, simulated-fetch ok: $exOk%,d pages byte-exact).
+         |
+         |## A2 skew microbench (one IP, $skewN%,d rows, top-2000)
+         |
+         |The winner-selection shapes on a maximally skewed IP (the A8-cap
+         |regime where one hot IP holds millions of frontier rows):
+         |
+         || shape | wall secs |
+         ||---|---|
+         || bounded-heap WinnerTopK (O(k) state/IP, the schedule path) | $skewHeapSecs%.2f |
+         || row_number() window (full per-IP sort, the r1-r2 shape) | $skewWindowSecs%.2f |
+         |
+         |Identical output rows; the heap aggregate does partial (map-side)
+         |top-k per input partition and merges k-bounded heaps, so the skewed
+         |IP never concentrates an unbounded sort in one task.
          |
          |Reference anchor (BASELINE.md): ~1 page/sec/core spider+index ⇒ a
          |32-core box ≈ 32 fetch-equivalents/sec; this engine schedules

@@ -69,6 +69,23 @@ object SparkEntry {
     crawlMemo
   }
 
+  /** crawlDir + the pcd golden flow: reindex the mutating-host urls and
+    * run iteration 9 against the rev-1 corpus. Snapshots 1-8 stay
+    * untouched, so the other frontier queries read the same state. */
+  @volatile private var pcdMemo: String = null
+  private def pcdDir(s: SparkSession): String = synchronized {
+    if (pcdMemo == null) {
+      val w = crawlDir(s)
+      val spec = Corpus.micro
+      Crawl.reindex(s, w, Corpus.pcdReindexUrls, Crawl.Config())
+      Crawl.runIteration(s, w, 9, Corpus.pages(s, spec, 1),
+        Corpus.robots(s, spec), Corpus.hostMeta(s, spec), Crawl.Config(),
+        Crawl.redirectClosure(Corpus.redirects(s, spec)))
+      pcdMemo = w
+    }
+    pcdMemo
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- relational patterns of the crawl loop, on the TPC-H-ish tables
     "q1_lineitem_agg" -> ((s, d) => {
@@ -93,7 +110,7 @@ object SparkEntry {
       o.groupBy(col("o_custkey"))
         .agg(graft.plans.WinnerTopKColumn(
           col("o_orderkey"), col("o_orderkey").cast("string"), lit(0), lit(0),
-          col("negcents"), lit(0), lit(3), lit(false), lit(0L), 3).as("ws"))
+          col("negcents"), lit(0), lit(3), lit(false), lit(0L), lit(0), lit(0), 3).as("ws"))
         .select(col("o_custkey"), posexplode(col("ws")).as(Seq("pos", "w")))
         .select(col("o_custkey"), col("w.uh48").as("o_orderkey"),
           (col("pos") + 1).cast("long").as("rank"))
@@ -200,14 +217,42 @@ object SparkEntry {
       (1 to 3).map(i => s.read.parquet(s"${Crawl.snapDir(w, i)}/fetch_log")).reduce(_ unionByName _)
         .select("iteration", "first_ip", "seq", "url", "priority", "err_code")
     }),
+    // DISTINCT: the seen set is a SET of uh48s — the x18_pcd flow
+    // appends reindex request ROWS (same uh48, fake-ip signature) into
+    // snapshot 8, and query order must not matter
     "j2_seen_frontier" -> ((s, d) =>
-      Crawl.loadRequests(s, crawlDir(s), 8).select("uh48")),
+      Crawl.loadRequests(s, crawlDir(s), 8).select("uh48").distinct()),
     "a7_inlinks_frontier" -> ((s, d) =>
       Crawl.loadInlinkState(s, crawlDir(s), 8).toDF()
         .select(col("first_ip"), col("uh48"), size(col("cblocks")).as("n_cblocks"))),
     "s7_titledb" -> ((s, d) =>
       Crawl.loadTitledb(s, crawlDir(s), 8).toDF()
         .select(col("uh48"), col("url"), col("http_status"), col("content_hash32"))),
+    // minimal tagdb after the micro crawl: site tags (SiteGetter sites,
+    // www-prepend + /~user dirs), pinned firstips, site inlink c-blocks
+    "t1_tagdb_sites" -> ((s, d) =>
+      Crawl.loadTagState(s, crawlDir(s), 8).toDF()
+        .select(col("site"), col("first_ip"),
+          col("has_site_tag").cast("int").as("has_site_tag"),
+          size(col("cblocks")).as("n_cblocks"))),
+    // A6 quota state after the micro crawl: indexed-page counts per
+    // firstIp/site/dom key + the ^0x123456 manual-add seed counts
+    // (m_localTable, Spider.cpp:4355-4421), incrementally maintained
+    "a6_quota_frontier" -> ((s, d) =>
+      s.read.parquet(s"${Crawl.snapDir(crawlDir(s), 8)}/quota_state")
+        .select(col("key"), col("n"))),
+    // percentChangedPerDay on a REAL mutating re-fetch (reindex → rev-1
+    // corpus): values strictly inside (0, 100/dt) — the term-level
+    // sample-vector diff, not a hash step function. Micros truncation
+    // keeps the float32 → SQL comparison exact.
+    "x18_pcd" -> ((s, d) => {
+      val w = pcdDir(s)
+      val uhs = Corpus.pcdReindexUrls.map(u => graft.core.GbUrl.parse(u).uh48)
+      s.read.parquet(s"${Crawl.snapDir(w, 9)}/replies_delta")
+        .filter(col("uh48").isin(uhs: _*))
+        .select(col("uh48"),
+          (col("percent_changed_per_day") * lit(1000000f)).cast("long").as("pcd_micros"))
+    }),
 
     // ----- training-data ops: dedup
     "dedup_exact" -> ((s, d) => TextOps.exactDupCounts(read(s, d, "documents"))),
@@ -288,7 +333,7 @@ object SparkEntry {
     },
     "j2_seen_frontier" -> {
       val rows = goldenLines("seen_set.tsv").map(u => s"($u)")
-      s"SELECT CAST(uh48 AS BIGINT) AS uh48 FROM (VALUES ${rows.mkString(",")}) AS t(uh48)"
+      s"SELECT DISTINCT CAST(uh48 AS BIGINT) AS uh48 FROM (VALUES ${rows.mkString(",")}) AS t(uh48)"
     },
     "a7_inlinks_frontier" -> {
       val rows = goldenLines("inlink_counts.tsv").map { l =>
@@ -300,6 +345,13 @@ object SparkEntry {
     "s7_titledb" -> valuesOracle("titledb.tsv",
       Seq(("uh48", "BIGINT", false), ("url", "VARCHAR", true),
         ("http_status", "INTEGER", false), ("content_hash32", "INTEGER", false))),
+    "t1_tagdb_sites" -> valuesOracle("site_tags.tsv",
+      Seq(("site", "VARCHAR", true), ("first_ip", "INTEGER", false),
+        ("has_site_tag", "INTEGER", false), ("n_cblocks", "INTEGER", false))),
+    "x18_pcd" -> valuesOracle("pcd.tsv",
+      Seq(("uh48", "BIGINT", false), ("pcd_micros", "BIGINT", false))),
+    "a6_quota_frontier" -> valuesOracle("quota_state.tsv",
+      Seq(("key", "INTEGER", false), ("n", "BIGINT", false))),
     "q1_lineitem_agg" ->
       "SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS BIGINT) AS sum_qty, count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus",
     "a2_winner_topk" ->

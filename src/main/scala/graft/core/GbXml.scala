@@ -512,6 +512,13 @@ object GbXml {
                     lowerA(b(p + 2)) == 's' && lowerA(b(p + 3)) == 'c' && lowerA(b(p + 4)) == 'r' &&
                     lowerA(b(p + 5)) == 'i' && lowerA(b(p + 6)) == 'p' && lowerA(b(p + 7)) == 't') {
                   if (inDoubles || inSingles) p += 1 else stop = true
+                } else if (b(p + 1) == '/' &&
+                    lowerA(b(p + 2)) == 'g' && lowerA(b(p + 3)) == 'b' && lowerA(b(p + 4)) == 'f' &&
+                    lowerA(b(p + 5)) == 'r' && lowerA(b(p + 6)) == 'a' && lowerA(b(p + 7)) == 'm') {
+                  // </gbframe> stops script text UNCONDITIONALLY — even
+                  // inside quotes (Xml.cpp:590-596; the iframe-expansion
+                  // splice wraps js frames whose quoting may be broken)
+                  stop = true
                 } else if (lowerA(b(p + 1)) == 's' && lowerA(b(p + 2)) == 'c' && lowerA(b(p + 3)) == 'r' &&
                            lowerA(b(p + 4)) == 'i' && lowerA(b(p + 5)) == 'p' && lowerA(b(p + 6)) == 't') {
                   if (inDoubles || inSingles) p += 1 else stop = true

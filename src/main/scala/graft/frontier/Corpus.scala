@@ -48,7 +48,18 @@ object Corpus {
   val small: Spec = Spec(256, 4, 4) // ~5k pages
   val bench: Spec = Spec(2000, 8, 12) // ~200k pages
 
-  def host(k: Int): String = s"www.h$k.test"
+  /** Hosts k≡3 (mod 8) are DOMAIN-ONLY (no www) and lay their sections
+    * out as `/~u<s>/` user dirs — exercising the tagdb/SiteGetter path:
+    * the www-prepended site tag (SiteGetter.cpp:655-659), recognized
+    * user-dir sites (:611-644), the cold→warm outlink site switch
+    * (XmlDoc.cpp:8905-8920), and the site-root hop-0 quirk flip once the
+    * www-prepended tag exists (isSiteRootFunc3). */
+  def isUserHost(k: Int): Boolean = k % 8 == 3
+
+  def host(k: Int): String = if (isUserHost(k)) s"h$k.test" else s"www.h$k.test"
+
+  /** Section path component: "~u<s>" on user hosts, "s<s>" elsewhere. */
+  def secName(k: Int, s: Int): String = if (isUserHost(k)) s"~u$s" else s"s$s"
 
   /** Deterministic DNS: hosts share IPs ~20% of the time
     * (FIXTURES.md §3: "several hosts share an IP"). */
@@ -65,12 +76,12 @@ object Corpus {
     if (p == spec.feed2Page) s"http://${host(k)}/feed2.xml"
     else if (p == spec.feedPage) s"http://${host(k)}/feed.xml"
     else if (p == 0) s"http://${host(k)}/"
-    else if (p <= spec.sectionsPerHost) s"http://${host(k)}/s$p/"
+    else if (p <= spec.sectionsPerHost) s"http://${host(k)}/${secName(k, p)}/"
     else {
       val li = p - spec.sectionsPerHost - 1
       val sec = li % spec.sectionsPerHost + 1
       val leaf = li / spec.sectionsPerHost
-      s"http://${host(k)}/s$sec/leaf$leaf.html"
+      s"http://${host(k)}/${secName(k, sec)}/leaf$leaf.html"
     }
   }
 
@@ -81,9 +92,11 @@ object Corpus {
     k % 8 == 6 && p > spec.sectionsPerHost && p != spec.feedPage && p != spec.feed2Page
 
   /** Raw page bytes as served: latin1-encoded for latin1 pages. */
-  def pageBytes(k: Int, p: Int, spec: Spec): Array[Byte] =
-    if (isLatin1Page(k, p, spec)) pageHtml(k, p, spec).getBytes("ISO-8859-1")
-    else pageHtml(k, p, spec).getBytes("UTF-8")
+  def pageBytes(k: Int, p: Int, spec: Spec): Array[Byte] = pageBytes(k, p, spec, 0)
+
+  def pageBytes(k: Int, p: Int, spec: Spec, rev: Int): Array[Byte] =
+    if (isLatin1Page(k, p, spec)) pageHtml(k, p, spec, rev).getBytes("ISO-8859-1")
+    else pageHtml(k, p, spec, rev).getBytes("UTF-8")
 
   /** RSS 2.0 feed body: items link two leaves + a cross-host root. The
     * first item's description embeds a raw `<a href>` anchor — the
@@ -119,8 +132,18 @@ object Corpus {
     sb.toString
   }
 
+  /** Hosts k≡0 (mod 8) MUTATE between corpus revisions (the `rev`
+    * parameter): part of their body text changes per rev while the rest
+    * stays — so a re-fetch (reindex) of a rev-1 corpus produces a real
+    * percentChangedPerDay strictly between 0 and 100
+    * (XmlDoc.cpp:9804-9824 page-sample-vector similarity). rev 0 is the
+    * corpus every golden crawl uses. */
+  def isMutatingHost(k: Int): Boolean = k % 8 == 0
+
   /** Deterministic html body with links. */
-  def pageHtml(k: Int, p: Int, spec: Spec): String = {
+  def pageHtml(k: Int, p: Int, spec: Spec): String = pageHtml(k, p, spec, 0)
+
+  def pageHtml(k: Int, p: Int, spec: Spec, rev: Int): String = {
     if (p == spec.feedPage) return feedXml(k, spec)
     if (p == spec.feed2Page) return feed2Xml(k, spec)
     val sb = new StringBuilder(1024)
@@ -130,16 +153,37 @@ object Corpus {
     sb.append(s"<h1>$title</h1>")
     sb.append(s"<p>Deterministic body text for host $k page $p. ")
     sb.append(s"Some entities: fish &amp; chips, caf&eacute;, x&nbsp;y.</p>")
+    if (isMutatingHost(k)) {
+      // stable words + rev-volatile words: the sample vectors of rev 0
+      // and rev 1 overlap partially, never fully
+      sb.append(s"<p>edition tracker stable anchor words here; volatile ")
+      for (j <- 0 until 6) sb.append(s"tok${k}x${p}r${rev}n$j ")
+      sb.append("</p>")
+    }
     // nav: root links to sections; sections link to leaves; leaves link back
     if (p == 0) {
       if (hasFeed(k))
         sb.append("""<link rel="alternate" type="application/rss+xml" href="/feed.xml">""")
+      if (k % 8 == 2) {
+        // iframe-expansion fixtures (getExpandedUtf8Content):
+        //  - same-host leaf → expands (its text splices into this root)
+        //  - cross-host frame on a robots-/s1-disallowed host (k+3 ≡ 1
+        //    mod 4) → robots-denied, NOT expanded
+        //  - about:blank and google.com → skip rules
+        //  - an iframe inside <script> → never a candidate
+        val t = (k + 3) % spec.nHosts
+        sb.append(s"""<iframe src="/${secName(k, 1)}/leaf0.html"></iframe>""")
+        sb.append(s"""<iframe src="http://${host(t)}/${secName(t, 1)}/leaf0.html"></iframe>""")
+        sb.append("""<iframe src="about:blank"></iframe>""")
+        sb.append("""<iframe src="http://www.google.com/widget"></iframe>""")
+        sb.append("""<script>document.write('<iframe src="/s2/leaf1.html">');</script>""")
+      }
       if (k % 8 == 7) {
         sb.append(s"""<a href="/old/page.html">old</a> """)
         sb.append(s"""<a href="/moved.html">moved</a> """)
         sb.append(s"""<a href="/loop.html">loop</a> """)
       }
-      for (s <- 1 to spec.sectionsPerHost) sb.append(s"""<a href="/s$s/">section $s</a> """)
+      for (s <- 1 to spec.sectionsPerHost) sb.append(s"""<a href="/${secName(k, s)}/">section $s</a> """)
       // cross-host links with Zipf-ish skew toward low-k hosts (hot hosts)
       val t1 = (k * 2 + 1) % spec.nHosts
       val t2 = (k * 3 + 2) % spec.nHosts
@@ -156,13 +200,20 @@ object Corpus {
       val leavesHere = spec.leavesPerSection
       for (l <- 0 until leavesHere) sb.append(s"""<a href="leaf$l.html">leaf $l</a> """)
       sb.append(s"""<a href="/">home</a> """)
-      sb.append(s"""<a href="../s${p % spec.sectionsPerHost + 1}/">next</a> """)
+      sb.append(s"""<a href="../${secName(k, p % spec.sectionsPerHost + 1)}/">next</a> """)
     } else {
       if (isLatin1Page(k, p, spec))
-        sb.append("<p>Très déjà vu: naïve façade, ½ cup.</p>")
+        // French body (latin1-encoded): the charset path AND the X14
+        // language id path — replies for these leaves carry lang=fr
+        sb.append("<p>Très déjà vu: naïve façade, ½ cup. " +
+          "Les enfants sont dans le jardin avec leurs amis et ils jouent " +
+          "près de la maison pour une heure après le repas.</p>")
       sb.append(s"""<a href="/">home</a> """)
       // every 3rd leaf links to a sibling host page (deeper discovery)
-      if (p % 3 == 0) sb.append(s"""<a href="http://${host((k + 1) % spec.nHosts)}/s1/">peer</a> """)
+      if (p % 3 == 0) {
+        val k1 = (k + 1) % spec.nHosts
+        sb.append(s"""<a href="http://${host(k1)}/${secName(k1, 1)}/">peer</a> """)
+      }
       sb.append("<script>var hidden = '<a href=\"/not-a-link.html\">x</a>';</script>")
     }
     sb.append("</body></html>")
@@ -183,7 +234,9 @@ object Corpus {
 
   // ---------------------------------------------------------------- build
 
-  def pages(spark: SparkSession, spec: Spec): Dataset[PageRow] = {
+  def pages(spark: SparkSession, spec: Spec): Dataset[PageRow] = pages(spark, spec, 0)
+
+  def pages(spark: SparkSession, spec: Spec, rev: Int): Dataset[PageRow] = {
     import spark.implicits._
     val pph = spec.pagesPerHost
     spark.range(spec.totalPages).mapPartitions { it =>
@@ -191,7 +244,7 @@ object Corpus {
         val k = (idx / pph).toInt
         val p = (idx % pph).toInt
         val url = pageUrl(k, p, spec)
-        val html = pageBytes(k, p, spec) // latin1-encoded for k≡6 leaves
+        val html = pageBytes(k, p, spec, rev) // latin1-encoded for k≡6 leaves
         val text = GbXml.extractText(html) // verified against reference goldens (ref_text.tsv)
         PageRow(url, warcTs(url), html, text, "en")
       }
@@ -230,6 +283,15 @@ object Corpus {
       robotsBody(k.toInt).map(b => RobotsRow(host(k.toInt), b.getBytes("UTF-8")))
     }
   }
+
+  /** Reindex targets of the pcd golden flow: mutating-host (k≡0 mod 8)
+    * pages that the 8-iteration micro crawl indexes; re-fetched against
+    * the rev-1 corpus they produce percentChangedPerDay values strictly
+    * between the 0 and 100/dt extremes. */
+  def pcdReindexUrls: Seq[String] = Seq(
+    s"http://${host(0)}/",
+    s"http://${host(0)}/s1/leaf0.html",
+    s"http://${host(0)}/s2/leaf1.html")
 
   /** Fixed ordered seed list: roots of hosts 0, 1, 5. */
   def seeds(spec: Spec): Seq[String] = {

@@ -74,7 +74,12 @@ object Crawl {
       // reference-exact interpreter (pattern matching isn't compiled).
       siteList: Seq[String] = Nil,
       // matchesucp/matchesupp collection patterns (Spider.cpp:11714-11777)
-      patterns: CrawlPatterns = CrawlPatterns()
+      patterns: CrawlPatterns = CrawlPatterns(),
+      // tagdb: cap on the distinct inlinking c-blocks tracked per SITE
+      // (the Msg25 "good inlinks, 1 per c block" analogue; the reference
+      // bounds work per site via Msg25's inlink limits — LinkInfo.cpp
+      // maxNumInlinks order of magnitude, not a hard constant)
+      siteInlinkCap: Int = 128
   )
 
   def nowSecs(cfg: Config, iteration: Int): Long = cfg.baseTimeSecs + iteration * (cfg.clockStepMs / 1000L).max(1L)
@@ -143,7 +148,8 @@ object Crawl {
     hasMediaExtension = Flags.has(r.flags, Flags.HasMediaExtension),
     fakeFirstIp = Flags.has(r.flags, Flags.FakeFirstIp),
     hadReply = Flags.has(r.flags, Flags.HadReply),
-    wasParentIndexed = Flags.has(r.flags, Flags.WasParentIndexed)
+    wasParentIndexed = Flags.has(r.flags, Flags.WasParentIndexed),
+    siteHash32 = r.site_hash32
   )
 
   private def toUfnReply(r: FrontierReply): UfnReply = UfnReply(
@@ -232,6 +238,13 @@ object Crawl {
       .as[FetchTask]
   }
 
+  /** Does the rule profile reference an A6 quota token? Mirrors the
+    * reference's m_countingPagesIndexed gate (Spider.cpp:3598-3600:
+    * quota tables are built only "if doing site or page quotes"). */
+  def quotasEnabled(rules: IndexedSeq[UrlFilterRule]): Boolean =
+    rules.exists(r => r.expr.contains("sitepages") || r.expr.contains("domainpages") ||
+      r.expr.contains("siteadds") || r.expr.contains("domainadds"))
+
   /** Schedule: produce this iteration's fetch batch (doledb analogue).
     * Fully native Catalyst pipeline — rule table compiled to
     * when/otherwise columns (whole-stage codegen, no per-row objects);
@@ -243,7 +256,8 @@ object Crawl {
                domState: Dataset[DomState],
                cfg: Config,
                iteration: Int,
-               inlinks: Dataset[InlinkState] = null): Dataset[FetchTask] = {
+               inlinks: Dataset[InlinkState] = null,
+               quota: DataFrame = null): Dataset[FetchTask] = {
     val spark = requests.sparkSession
     import spark.implicits._
     val now = nowSecs(cfg, iteration)
@@ -261,7 +275,7 @@ object Crawl {
       repHttpStatus = col("rep_http_status"), now = lit(now))
 
     RuleCompiler.compile(cfg.rules, c, siteListEmpty = sl.isEmpty, patterns = cfg.patterns) match {
-      case None => scheduleInterpreted(requests, replies, ipState, domState, cfg, iteration, inl)
+      case None => scheduleInterpreted(requests, replies, ipState, domState, cfg, iteration, inl, quota)
       case Some(compiled) =>
         // merge duplicate requests per uh48 with native aggregates
         // (Spider.cpp:4799-4836: min hop, min discovery, freshest rest)
@@ -333,6 +347,7 @@ object Crawl {
           col("uh48"), col("url"), col("priority"), col("ufn"),
           col("spider_time_ms"), col("hop_count"), col("ip_max"),
           col("rep_exists") && col("rep_err_code") === 0, col("flags"),
+          col("site_hash32"), col("dom_hash32"),
           cfg.maxWinnersPerIp)
         val batch = scored
           .groupBy(col("first_ip")).agg(winners.as("ws"))
@@ -342,7 +357,8 @@ object Crawl {
             col("w.priority").as("priority"), col("w.ufn").as("ufn"),
             col("w.spider_time_ms").as("spider_time_ms"), col("w.hop_count").as("hop_count"),
             col("pos").cast("int").as("seq_in_ip"), col("w.was_indexed").as("was_indexed"),
-            col("w.req_flags").as("req_flags"))
+            col("w.req_flags").as("req_flags"),
+            col("w.site_hash32").as("site_hash32"), col("w.dom_hash32").as("dom_hash32"))
           .as[FetchTask]
         if (cfg.enforceDoleCaps) applyDoleCaps(batch, cfg) else batch
     }
@@ -356,7 +372,8 @@ object Crawl {
                domState: Dataset[DomState],
                cfg: Config,
                iteration: Int,
-               inlinks: Dataset[InlinkState] = null): Dataset[FetchTask] = {
+               inlinks: Dataset[InlinkState] = null,
+               quota: DataFrame = null): Dataset[FetchTask] = {
     val spark = requests.sparkSession
     import spark.implicits._
     val now = nowSecs(cfg, iteration)
@@ -365,10 +382,12 @@ object Crawl {
     val inl = Option(inlinks).getOrElse(spark.emptyDataset[InlinkState])
     // collection context: site list + crawl patterns (F6/F4)
     val sl = new SiteList(cfg.siteList)
+    val quotaOn = quota != null && quotasEnabled(rules)
     val ctx = RuleCtx(sl.isEmpty,
       u => sl.matchingPattern(GbUrl.parse(u)),
       (u, t) => sl.matchingPattern(GbUrl.parse(u), t),
-      cfg.patterns)
+      cfg.patterns,
+      quotaValid = quotaOn)
 
     val reqs = mergedRequests(requestsFiltered(requests.toDF(), now, cfg).as[FrontierRequest])
     val reps = latestReplies(repliesFiltered(replies.toDF(), now, cfg).as[FrontierReply])
@@ -388,22 +407,48 @@ object Crawl {
         col("req.first_ip") === col("il_ip") && col("req.uh48") === col("il_uh48"), "left_outer")
       .join(domState.toDF().withColumnRenamed("dom_hash32", "dom_key"),
         col("req.dom_hash32") === col("dom_key"), "left_outer")
+
+    // A6 quota lookups (4 keys per request against the small quota_state
+    // dimension — auto-broadcast; the reference keeps the same table in
+    // shard RAM, Spider.cpp m_localTable/quotaTable). Missing key → 0.
+    val withQuota =
+      if (!quotaOn)
+        withIp.withColumn("q_sp", lit(0)).withColumn("q_da", lit(0))
+          .withColumn("q_dp", lit(0)).withColumn("q_sa", lit(0))
+      else {
+        def qj(df: DataFrame, keyCol: org.apache.spark.sql.Column, out: String) =
+          df.join(quota.select(col("key").as(s"k_$out"), col("n").as(s"n_$out")),
+            keyCol === col(s"k_$out"), "left_outer")
+            .withColumn(out, coalesce(col(s"n_$out").cast("int"), lit(0)))
+            .drop(s"k_$out", s"n_$out")
+        var df = withIp
+        df = qj(df, col("req.site_hash32"), "q_sp")
+        df = qj(df, col("req.dom_hash32"), "q_dp")
+        df = qj(df, col("req.site_hash32").bitwiseXOR(lit(0x123456)), "q_sa")
+        df = qj(df, col("req.dom_hash32").bitwiseXOR(lit(0x123456)), "q_da")
+        df
+      }
+
+    val selected = withQuota
       .select(
         col("req").as[FrontierRequest],
         col("rep").as[FrontierReply],
-        coalesce(col("last_download_end_ms"), lit(-1L)).as[Long],
-        coalesce(col("crawl_delay_ms"), lit(-1)).as[Int],
-        coalesce(col("pni"), lit(0)).as[Int]
+        struct(
+          coalesce(col("last_download_end_ms"), lit(-1L)).as("last_ms"),
+          coalesce(col("crawl_delay_ms"), lit(-1)).as("dom_cd"),
+          coalesce(col("pni"), lit(0)).as("pni")).as[(Long, Int, Int)],
+        struct(col("q_sp"), col("q_dp"), col("q_sa"), col("q_da")).as[(Int, Int, Int, Int)]
       )
 
-    val scored = withIp.map { case (req, repOrNull, lastMs, domCd, pni) =>
+    val scored = selected.map { case (req, repOrNull, (lastMs, domCd, pni), (qsp, qdp, qsa, qda)) =>
       val rep = Option(repOrNull)
       // hadReply must reflect reality even before compaction set the bit
       val reqFixed =
         if (rep.isDefined && !Flags.has(req.flags, Flags.HadReply))
           req.copy(flags = req.flags | Flags.HadReply)
         else req
-      val ur = toUfn(reqFixed).copy(pageNumInlinks = pni)
+      val ur = toUfn(reqFixed).copy(pageNumInlinks = pni,
+        sitePages = qsp, domainPages = qdp, siteAdds = qsa, domainAdds = qda)
       val urep = rep.map(toUfnReply)
       val ufn = UrlFilters.urlFilterNumCtx(ur, urep, now, rules, ctx)
       if (ufn < 0) Scored(reqFixed, -1, -1, Long.MaxValue, forceDelete = true, 0, 0, wasIndexed = false)
@@ -420,8 +465,8 @@ object Crawl {
     // tie-breaks priority desc, hopCount asc, time asc, Spider.cpp:4856-4893)
     val eligible = scored
       .filter(s => !s.forceDelete && s.spiderTimeMs <= nowMillis)
-      .map(s => (s.req.uh48, s.req.first_ip, s.req.url, s.priority, s.ufn, s.spiderTimeMs, s.req.hop_count, s.ipMaxSpiders, s.wasIndexed, s.req.flags))
-      .toDF("uh48", "first_ip", "url", "priority", "ufn", "spider_time_ms", "hop_count", "ip_max", "was_indexed", "req_flags")
+      .map(s => (s.req.uh48, s.req.first_ip, s.req.url, s.priority, s.ufn, s.spiderTimeMs, s.req.hop_count, s.ipMaxSpiders, s.wasIndexed, s.req.flags, s.req.site_hash32, s.req.dom_hash32))
+      .toDF("uh48", "first_ip", "url", "priority", "ufn", "spider_time_ms", "hop_count", "ip_max", "was_indexed", "req_flags", "site_hash32", "dom_hash32")
 
     val w = Window.partitionBy(col("first_ip"))
       .orderBy(col("priority").desc, col("hop_count").asc, col("spider_time_ms").asc, col("uh48").asc)
@@ -431,7 +476,7 @@ object Crawl {
       .withColumn("seq_in_ip", col("rank") - 1)
       .select(col("uh48"), col("first_ip"), col("url"), col("priority"), col("ufn"),
         col("spider_time_ms"), col("hop_count"), col("seq_in_ip").cast("int"), col("was_indexed"),
-        col("req_flags"))
+        col("req_flags"), col("site_hash32"), col("dom_hash32"))
       .as[FetchTask]
     if (cfg.enforceDoleCaps) applyDoleCaps(batch, cfg) else batch
   }
@@ -453,7 +498,14 @@ object Crawl {
       isRSS: Boolean = false,       // Xml::isRSSFeed on the parse
       isPermalink: Boolean = false, // ::isPermalink (links-free shape)
       isSiteMap: Boolean = false,   // filename == sitemap.xml (getIsSiteMap)
-      html: Array[Byte] = null      // raw page bytes (titledb payload, S7)
+      html: Array[Byte] = null,     // raw page bytes (titledb payload, S7)
+      // getPercentChanged (XmlDoc.cpp:9804-9824): similarity of old vs
+      // new page sample vectors — 100 = unchanged, quirk preserved.
+      // Only meaningful when an old titledb doc existed (repliesOf gates
+      // the per-day rate on the old reply the same way the reference
+      // gates on `od`).
+      percentChanged: Float = 0f,
+      sampleVec: Array[Int] = null  // TitleRec m_pageSampleVec analogue
   )
 
   /** S6+X5+X7-X12: fetch batch against the pages table, robots-gated,
@@ -471,7 +523,8 @@ object Crawl {
             robots: Dataset[RobotsRow],
             cfg: Config,
             iteration: Int,
-            redirClosure: DataFrame = null): Dataset[FetchResult] = {
+            redirClosure: DataFrame = null,
+            oldVecs: DataFrame = null): Dataset[FetchResult] = {
     val spark = batch.sparkSession
     import spark.implicits._
     val now = nowSecs(cfg, iteration)
@@ -496,25 +549,88 @@ object Crawl {
 
     val withHost = withRedir.withColumn("host", graft.functions.GraftFunctions.urlHost(col("eff_url")))
 
-    val joined = withHost
+    // old-doc page sample vector (getOldXmlDoc → getPageSampleVector):
+    // a SLIM titledb projection (uh48 + the ≤31-int vector) — parquet
+    // column pruning keeps this join tiny even when titledb holds bodies
+    val ov = Option(oldVecs).getOrElse {
+      spark.emptyDataset[(Long, Array[Int])].toDF("uh48", "sample_vec")
+    }
+    val base = withHost
       .join(robots.toDF().withColumnRenamed("host", "rhost"), col("host") === col("rhost"), "left_outer")
       .join(pages.toDF().select(col("url").as("purl"), col("html"), col("lang").as("plang")), col("eff_url") === col("purl"), "left_outer")
+
+    val ua = cfg.userAgent
+
+    // X7 completion: frame/iframe expansion (getExpandedUtf8Content,
+    // XmlDoc.cpp:19481-19768). Only frame-BEARING pages (a cheap byte
+    // prefilter) take the detour: their candidate frame urls join the
+    // pages table (the getExtraDoc "download"), robots-gated like the
+    // reference's extra doc, and the spliced raw-utf8 parent comes back
+    // as one column keyed by uh48. Everything else pays nothing.
+    // slim frame-parent projection: (uh48, eff_url) ⋈ pages only —
+    // branching off `base` would recompute the full robots+pages join
+    // once per frame subtree; pages is persisted by the caller, so this
+    // extra slim join is a cache read
+    val parentSlim = withHost.select(col("uh48"), col("eff_url"))
+      .join(pages.toDF().select(col("url").as("pp_url"), col("html")),
+        col("eff_url") === col("pp_url"), "inner")
+      .select(col("uh48"), col("eff_url"), col("html"))
+    val frameCands = parentSlim
+      .as[(Long, String, Array[Byte])]
+      .flatMap { case (uh, eu, html) =>
+        if (!graft.core.GbIframe.mayHaveFrames(html)) Nil
+        else {
+          val raw = graft.core.GbCharset.toUtf8(html)
+          graft.core.GbIframe.candidates(raw, GbUrl.parse(eu)).map(c => (uh, c.url))
+        }
+      }.toDF("f_uh48", "f_src").dropDuplicates("f_uh48", "f_src")
+    val frameContents = frameCands
+      .join(pages.toDF().select(col("url").as("fp_url"), col("html").as("fp_html")),
+        col("f_src") === col("fp_url"), "inner") // 404 frames drop out (nukeDoc-continue)
+      .withColumn("f_host", graft.functions.GraftFunctions.urlHost(col("f_src")))
+      .join(robots.toDF().select(col("host").as("fr_host"), col("body").as("fr_body")),
+        col("f_host") === col("fr_host"), "left_outer")
+      .select(col("f_uh48").as[Long], col("f_src").as[String],
+        col("fp_html").as[Array[Byte]], col("fr_body").as[Array[Byte]])
+      .flatMap { case (uh, src, fhtml, fRobots) =>
+        val fu = GbUrl.parse(src)
+        val pathCgi = if (fu.isValid) fu.url.substring(fu.pathOff) else "/"
+        val allowed = fRobots == null || Robots.evaluate(pathCgi, fRobots, ua)._1
+        if (!allowed) None // robots-denied frame → no content (XmlDoc.cpp:19747)
+        else Some((uh, graft.core.GbIframe.FrameContent(src,
+          graft.core.GbCharset.toUtf8(fhtml), fu.extension.equalsIgnoreCase("js"))))
+      }.toDF("e_uh48", "fc")
+    val expansions = frameContents
+      .groupBy("e_uh48").agg(collect_list(col("fc")).as("fcs"))
+      .join(parentSlim.select(col("uh48").as("b_uh48"), col("eff_url").as("b_eff"), col("html").as("b_html")),
+        col("e_uh48") === col("b_uh48"), "inner")
+      .select(col("e_uh48").as[Long], col("b_eff").as[String],
+        col("b_html").as[Array[Byte]], col("fcs").as[Seq[graft.core.GbIframe.FrameContent]])
+      .map { case (uh, eu, html, fcs) =>
+        val raw = graft.core.GbCharset.toUtf8(html)
+        val m = fcs.map(f => f.url -> f).toMap
+        (uh, graft.core.GbIframe.expand(raw, GbUrl.parse(eu), m))
+      }.toDF("x_uh48", "expanded")
+
+    val joined = base
+      .join(ov.select(col("uh48").as("ov_uh48"), col("sample_vec").as("old_vec")),
+        col("uh48") === col("ov_uh48"), "left_outer")
+      .join(expansions, col("uh48") === col("x_uh48"), "left_outer")
       .select(
         struct(col("uh48"), col("first_ip"), col("url"), col("priority"), col("ufn"),
           col("spider_time_ms"), col("hop_count"), col("seq_in_ip"), col("was_indexed"),
-          col("req_flags"))
+          col("req_flags"), col("site_hash32"), col("dom_hash32"))
           .as("task").as[FetchTask],
         col("body").as[Array[Byte]],
         col("html").as[Array[Byte]],
         col("plang").as[String],
-        struct(col("redir_err"), col("redir_final")).as[(Int, String)]
+        struct(col("redir_err"), col("redir_final"), col("old_vec"), col("expanded"))
+          .as[(Int, String, Array[Int], Array[Byte])]
       )
-
-    val ua = cfg.userAgent
 
     joined
       .repartition(col("task.first_ip"))
-      .map { case (task, robotsBody, html, plang, (redirErr, redirFinal)) =>
+      .map { case (task, robotsBody, html, plang, (redirErr, redirFinal, oldVec, expanded)) =>
         // parse the EFFECTIVE url: content/links/robots are evaluated at
         // the redirect target (the reference's current url after follows)
         val effUrl = if (redirErr == 0 && redirFinal != null) redirFinal else task.url
@@ -585,14 +701,23 @@ object Crawl {
             "", 0, downloadEnd, Nil, "")
         } else {
           // X7-X10: the byte-exact extraction pipeline (charset → UTF-8
-          // first: getRawUtf8Content, then the getUtf8Content chain)
-          val work = graft.core.GbCharset.toUtf8(html)
+          // first: getRawUtf8Content, then iframe expansion
+          // (getExpandedUtf8Content — precomputed via the frame-content
+          // join when the page bears frame tags), then the
+          // getUtf8Content chain)
+          val work = if (expanded != null) expanded else graft.core.GbCharset.toUtf8(html)
           GbXml.sanitizeUtf8(work)
           val decoded = GbXml.htmlDecode(work, doSpecial = true)
           val norm = GbXml.normalizeAfterDecode(decoded)
           val nodes = GbXml.parse(norm)
           val text = new String(GbXml.getTextBytes(norm, nodes), StandardCharsets.UTF_8)
           val contentHash = GbHash.hash32(text)
+
+          // X14: the doc's language (getLangId chain) — dictionary word
+          // voting + script fallback + window smoothing over the doc's
+          // words; langUnknown keeps the reference's "xx" abbr. Feeds
+          // the reply AND the outlinks' parent_lang (`parentlang` rules)
+          val docLang = graft.core.GbLang.abbr(graft.core.GbLang.docLangId(text))
 
           // reply-side truth (getNewSpiderReply inputs, XmlDoc.h:773):
           // isRSS from the parse, isPermalink via the links-free
@@ -635,8 +760,9 @@ object Crawl {
                 else {
                   var hc = docHop + 1 // XmlDoc.cpp:27754 (m_hopCount + 1)
                   if (hc > 65535) hc = 65535
-                  if (lu.isRoot && !lu.hasQuery) hc = 0 // site root (X13)
-                  if (lu.isPingServer) hc = 0
+                  // issiteroot/pingserver hop-0 (XmlDoc.cpp:27766-27769)
+                  // applied in resolveOutlinks — site-root-ness depends
+                  // on the tagdb warm/cold site hash
                   val ext = lu.extension.toLowerCase
                   val isRSSExt = ext == "rss" || ext == "xml" || ext == "atom"
                   var fl = Flags.IsNewOutlink
@@ -646,7 +772,8 @@ object Crawl {
                   if (lu.isSimpleSubdomain) fl |= Flags.IsWWWSubdomain
                   if (lu.domHash32 == u.domHash32) fl |= Flags.SameDom
                   if (lu.hostHash32 == u.hostHash32) fl |= Flags.SameHost
-                  if (lu.hostHash32 == u.hostHash32) fl |= Flags.SameSite // site == host
+                  // SameSite set in resolveOutlinks (needs the tagdb
+                  // warm/cold linkee site, XmlDoc.cpp:27890)
                   // parent-truth flags (XmlDoc.cpp:27469-27472, 27891) and
                   // the url-format permalink guess (XmlDoc.cpp:27801-27804)
                   if (pageIsRSS) fl |= Flags.ParentIsRSS
@@ -665,7 +792,7 @@ object Crawl {
                     added_time = now,
                     discovery_time = now,
                     hop_count = hc,
-                    parent_lang = if (plang == null) "" else plang,
+                    parent_lang = docLang,
                     flags = fl,
                     err_count = 0,
                     parent_doc_id = task.uh48 & GbHash.DocIdMask
@@ -674,10 +801,17 @@ object Crawl {
               }
             }
           }
+          // percentChanged (getPercentChanged, XmlDoc.cpp:9804-9824):
+          // page sample vector of this doc vs the old titledb doc's —
+          // a SIMILARITY (100 = unchanged), quirk preserved
+          val sampleVec = graft.core.GbSampleVec.sampleVector(norm, nodes)
+          val pc =
+            if (oldVec == null) 0f
+            else graft.core.GbSampleVec.similarity(sampleVec, oldVec)
           FetchResult(task, found = true, allowed = true, cd, 200, Errs.OK,
-            if (plang == null) "en" else plang, contentHash, downloadEnd, outs, text,
+            docLang, contentHash, downloadEnd, outs, text,
             isRSS = pageIsRSS, isPermalink = pageIsPermalink, isSiteMap = pageIsSiteMap,
-            html = html)
+            html = html, percentChanged = pc, sampleVec = sampleVec)
         }
       }
   }
@@ -775,56 +909,139 @@ object Crawl {
     * seen — this is a keyed re-shard, not a discovery. */
   def resolveRevised(efakeResults: Dataset[FetchResult],
                      requests: Dataset[FrontierRequest],
-                     hostMeta: Dataset[HostMeta]): Dataset[FrontierRequest] = {
+                     hostMeta: Dataset[HostMeta],
+                     tagState: Dataset[TagState]): Dataset[FrontierRequest] = {
     val spark = efakeResults.sparkSession
     import spark.implicits._
     import graft.functions.GraftFunctions.{urlHost, gbHash32}
+    import graft.functions.GraftFunctions.siteKeyHash32
     val keys = efakeResults.map(r => (r.task.first_ip, r.task.uh48)).toDF("e_ip", "e_uh48")
     requests.toDF()
       .join(keys, col("first_ip") === col("e_ip") && col("uh48") === col("e_uh48"), "left_semi")
       .withColumn("host", urlHost(col("url")))
+      // getRevisedSpiderRequest takes the ip from getFirstIp — the tagdb
+      // pinned firstip tag first (XmlDoc.cpp:14157-14176), then DNS
+      .join(tagState.toDF().select(col("site_hash32").as("tag_key"), col("first_ip").as("tag_ip")),
+        siteKeyHash32(col("url")) === col("tag_key"), "left_outer")
       .join(hostMeta.toDF().select(col("host").as("hm_host"), col("first_ip").as("hm_ip")),
         col("host") === col("hm_host"), "left_outer")
       .withColumn("fb_ip", gbHash32(col("host")))
-      .withColumn("first_ip", coalesce(col("hm_ip"),
+      .withColumn("first_ip", coalesce(
+        when(col("tag_ip") =!= 0, col("tag_ip")), col("hm_ip"),
         when(col("fb_ip") === 0 || col("fb_ip") === -1, lit(1)).otherwise(col("fb_ip"))))
       .withColumn("flags", col("flags").bitwiseAND(lit(~Flags.FakeFirstIp)))
-      .drop("host", "hm_host", "hm_ip", "fb_ip")
+      .drop("host", "hm_host", "hm_ip", "fb_ip", "tag_key", "tag_ip")
       .as[FrontierRequest]
   }
 
-  /** J5: batch host→(firstIp, siteNumInlinks) resolution as a JOIN on
-    * host (the Msge1 batch-lookup shape, Msge1.cpp:36 getFirstIps) —
-    * replaces the round-1 driver-side collect()+broadcast map, which is
-    * O(#hosts) driver memory. host_meta auto-broadcasts while small and
-    * shuffles on host at scale. Unknown hosts fall back to a
-    * deterministic hash32(host) pseudo-IP (sandbox DNS stand-in).
-    * Returns (parent_cblock, outlink) pairs — the cblock feeds A7. */
+  /** One resolved outlink: the parent's /24 c-block (A7 feed), the site
+    * the link accrues to in linkdb terms (tagdb warm/cold resolved), and
+    * the finished request. */
+  final case class ResolvedOutlink(
+      parent_cblock: Int,
+      link_site_hash32: Int, // warm/cold linkdb site (accrual key)
+      link_site: String,
+      tag_key_hash32: Int, // SiteGetter guess (tagdb key: pin target)
+      tag_key: String,
+      req: FrontierRequest
+  )
+
+  /** Deterministic, associative [[TagState]] merge: firstip pinned to
+    * the EARLIEST stamp's non-zero value (resolution is a pure function
+    * of host within an iteration, so same-stamp values agree); site tag
+    * bit ORs; cblock sets keep the `cap` smallest (same convention as
+    * InlinkState). */
+  def combineTags(a: TagState, b: TagState, cap: Int): TagState = {
+    val ip =
+      if (a.first_ip == 0) b.first_ip
+      else if (b.first_ip == 0) a.first_ip
+      else if (a.stamp != b.stamp) { if (a.stamp < b.stamp) a.first_ip else b.first_ip }
+      else math.min(a.first_ip, b.first_ip)
+    val cb = (a.cblocks ++ b.cblocks).distinct.sorted.take(cap)
+    val site =
+      if (a.site.nonEmpty && (b.site.isEmpty || a.site <= b.site)) a.site else b.site
+    TagState(a.site_hash32, site, ip, a.has_site_tag || b.has_site_tag, cb,
+      math.min(a.stamp, b.stamp))
+  }
+
+  /** J5: batch host→(firstIp, site, siteNumInlinks) resolution as JOINs
+    * (the Msge1 batch-lookup shape, Msge1.cpp:36 getFirstIps + the
+    * per-outlink Msg8a tagdb fetch of getOutlinkTagRecVector) — replaces
+    * the round-1 driver-side collect()+broadcast map. Both dimension
+    * tables auto-broadcast while small and shuffle on their keys at
+    * scale. Resolution per outlink, following the reference exactly:
+    *
+    *  - firstIp: tagdb pinned "firstip" tag → DNS (host_meta) →
+    *    deterministic hash32(host) pseudo-IP (sandbox DNS stand-in).
+    *  - site (getLinkSiteHashes, XmlDoc.cpp:8895-8920): the tagdb "site"
+    *    tag when the linkee's site was indexed (warm); the RAW host hash
+    *    when not (cold) — no guess on the cold path, quirk preserved.
+    *  - siteNumInlinks (XmlDoc.cpp:27677-27695): the tagdb tag (our
+    *    cblock count) when present else -1, raised to the sitelinks.txt
+    *    minimum (g_tagdb.getMinSiteInlinks — host_meta's
+    *    site_num_inlinks fixture plays that static-floor role).
+    *  - hop: `issiteroot` (isSiteRootFunc3 against the RESOLVED site
+    *    hash) and ping-server force hop 0 (XmlDoc.cpp:27766-27769) —
+    *    evaluated here because site-root-ness depends on the warm/cold
+    *    site; redirect-requeue rows keep their hop unless site-root,
+    *    like the reference (:27758-27769 order).
+    *  - sameSite flag: resolved site hash == parent's SiteGetter site
+    *    hash (XmlDoc.cpp:27890). */
   def resolveOutlinks(results: Dataset[FetchResult],
-                      hostMeta: Dataset[HostMeta]): Dataset[(Int, FrontierRequest)] = {
+                      hostMeta: Dataset[HostMeta],
+                      tagState: Dataset[TagState]): Dataset[ResolvedOutlink] = {
     val spark = results.sparkSession
     import spark.implicits._
-    import graft.functions.GraftFunctions.{urlHost, gbHash32}
-    val raw = results.flatMap(r => r.outlinks.map(o => (r.task.first_ip & 0x00ffffff, o)))
-      .toDF("parent_cblock", "o")
-      .withColumn("host", urlHost(col("o.url")))
+    import graft.functions.GraftFunctions.gbHash32
+    val raw = results.flatMap { r =>
+      val parentSiteHash = GbHash.hash32(graft.core.SiteGetter.site(r.task.url))
+      r.outlinks.map { o =>
+        val u = GbUrl.parse(o.url)
+        val guess = graft.core.SiteGetter.site(u)
+        (r.task.first_ip & 0x00ffffff, parentSiteHash, u.host,
+          GbHash.hash32(guess), guess,
+          graft.core.SiteGetter.urlNoSchemeHash32(o.url), o)
+      }
+    }.toDF("parent_cblock", "parent_site_hash32", "host", "guess_hash32", "guess", "url_ns_hash32", "o")
     raw
       .join(hostMeta.toDF().select(col("host").as("hm_host"),
           col("first_ip").as("hm_ip"), col("site_num_inlinks").as("hm_sni")),
         col("host") === col("hm_host"), "left_outer")
+      .join(tagState.toDF().select(col("site_hash32").as("tag_key"),
+          col("first_ip").as("tag_ip"), col("has_site_tag"),
+          size(col("cblocks")).as("tag_sni")),
+        col("guess_hash32") === col("tag_key"), "left_outer")
       .withColumn("fb_ip", gbHash32(col("host")))
-      .withColumn("res_ip", coalesce(col("hm_ip"),
+      .withColumn("res_ip", coalesce(
+        when(col("tag_ip") =!= 0, col("tag_ip")), col("hm_ip"),
         when(col("fb_ip") === 0 || col("fb_ip") === -1, lit(1)).otherwise(col("fb_ip"))))
-      .withColumn("res_sni", coalesce(col("hm_sni"), lit(-1)))
-      .select(col("parent_cblock").as[Int],
+      // warm: tagdb site; cold: raw host (o.site_hash32 carries
+      // hash32(host) from the harvest)
+      .withColumn("warm", coalesce(col("has_site_tag"), lit(false)))
+      .withColumn("res_site", when(col("warm"), col("guess_hash32")).otherwise(col("o.site_hash32")))
+      .withColumn("res_site_str", when(col("warm"), col("guess")).otherwise(col("host")))
+      .withColumn("ksni", when(col("warm") && col("tag_sni") > 0, col("tag_sni")).otherwise(lit(-1)))
+      .withColumn("res_sni", greatest(col("ksni"), coalesce(col("hm_sni"), lit(-1))))
+      .withColumn("res_hop",
+        when(col("url_ns_hash32") === col("res_site"), 0) // issiteroot
+          .when((col("o.flags").bitwiseAND(lit(Flags.IsPingServer))) =!= 0, 0)
+          .otherwise(col("o.hop_count")))
+      .withColumn("res_flags",
+        when(col("res_site") === col("parent_site_hash32"),
+          col("o.flags").bitwiseOR(lit(Flags.SameSite))).otherwise(col("o.flags")))
+      .select(
+        col("parent_cblock"), col("res_site").as("link_site_hash32"),
+        col("res_site_str").as("link_site"),
+        col("guess_hash32").as("tag_key_hash32"), col("guess").as("tag_key"),
         struct(col("o.uh48").as("uh48"), col("res_ip").as("first_ip"),
           col("o.url").as("url"), col("o.host_hash32").as("host_hash32"),
-          col("o.dom_hash32").as("dom_hash32"), col("o.site_hash32").as("site_hash32"),
+          col("o.dom_hash32").as("dom_hash32"), col("res_site").as("site_hash32"),
           col("res_sni").as("site_num_inlinks"), col("o.added_time").as("added_time"),
-          col("o.discovery_time").as("discovery_time"), col("o.hop_count").as("hop_count"),
-          col("o.parent_lang").as("parent_lang"), col("o.flags").as("flags"),
+          col("o.discovery_time").as("discovery_time"), col("res_hop").as("hop_count"),
+          col("o.parent_lang").as("parent_lang"), col("res_flags").as("flags"),
           col("o.err_count").as("err_count"), col("o.parent_doc_id").as("parent_doc_id")
-        ).as[FrontierRequest])
+        ).as("req"))
+      .as[ResolvedOutlink]
   }
 
   // ----------------------------------------------------------- writeback
@@ -841,8 +1058,11 @@ object Crawl {
                cfg: Config): Dataset[FrontierRequest] = {
     val spark = candidates.sparkSession
     import spark.implicits._
+    // no persist: the candidates' expensive upstream (resolveOutlinks)
+    // is already cached by the caller, so the two consumers below just
+    // re-run the cheap bloom probe — a persist here leaked one cached
+    // dataset per iteration (never unpersisted, OOMing long loops)
     val tagged = SeenBloom.tagged(candidates, bloomTable, cfg.seenBuckets)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val definitelyNew = tagged.filter(!_._2).map(_._1)
     // no distinct() on the seen side: left_anti is set-semantics already,
     // and the distinct was a full extra shuffle of the seen set per
@@ -867,10 +1087,11 @@ object Crawl {
     * isIndexed flags and percentChangedPerDay against the previous reply.
     * The reference's percentChanged is a term-level diff of old vs new
     * doc; with only content hashes persisted this engine approximates it
-    * as 0 (hash equal) / 100 (hash changed), then applies the exact
-    * formula — including its quirk that `numDays` is actually SECONDS
-    * (`float numDays = spideredTime - oldSpideredTime`,
-    * XmlDoc.cpp:27195-27198). */
+    * as the TERM-LEVEL page-sample-vector similarity (GbSampleVec;
+    * percentChanged = pageSimilarity, 100 = unchanged, quirk preserved),
+    * then applies the exact formula — including its quirk that `numDays`
+    * is actually SECONDS (`float numDays = spideredTime -
+    * oldSpideredTime`, XmlDoc.cpp:27194-27198). */
   def repliesOf(results: Dataset[FetchResult],
                 priorReplies: Dataset[FrontierReply],
                 cfg: Config, iteration: Int): Dataset[FrontierReply] = {
@@ -882,7 +1103,7 @@ object Crawl {
       if (r.isRSS) fl |= Flags.RepIsRSS
       if (r.isPermalink) fl |= Flags.RepIsPermalink
       if (r.errCode == Errs.OK) fl |= Flags.RepIsIndexed
-      FrontierReply(
+      (FrontierReply(
         uh48 = r.task.uh48,
         first_ip = r.task.first_ip,
         spidered_time = now,
@@ -895,21 +1116,26 @@ object Crawl {
         percent_changed_per_day = 0f,
         flags = fl,
         err_count = if (r.errCode != 0 && UrlFilters.tmpErrors.contains(r.errCode)) 1 else 0
-      )
-    }
-    // percentChangedPerDay: only when an indexed old doc exists (od)
+      ), r.percentChanged)
+    }.toDF("r", "pc").select(col("r.*"), col("pc"))
+    // percentChangedPerDay: only when an indexed old doc exists (od,
+    // XmlDoc.cpp:27191-27198). The old-doc lookup is by DOCID in the
+    // reference (getOldXmlDoc → titledb), NOT by firstIp — a reindex
+    // request runs under a fake docid-derived ip (PageReindex.cpp:454,
+    // 460) and must still find its old doc, so this join keys on uh48
+    // alone, latest OK reply across ips.
     val old = latestReplies(priorReplies)
       .filter(r => r.err_code == Errs.OK && r.spidered_time > 0)
-      .map(r => (r.first_ip, r.uh48, r.spidered_time, r.content_hash32))
-      .toDF("o_ip", "o_uh48", "o_time", "o_hash")
-    fresh.toDF()
-      .join(old, col("first_ip") === col("o_ip") && col("uh48") === col("o_uh48"), "left_outer")
+      .map(r => (r.uh48, r.spidered_time))
+      .toDF("o_uh48", "o_time0")
+      .groupBy("o_uh48").agg(max(col("o_time0")).as("o_time"))
+    fresh
+      .join(old, col("uh48") === col("o_uh48"), "left_outer")
       .withColumn("percent_changed_per_day",
         when(col("o_time").isNotNull && col("err_code") === Errs.OK,
-          (when(col("content_hash32") === col("o_hash"), lit(0.0f)).otherwise(lit(100.0f)) + lit(0.5f)) /
-            (col("spidered_time") - col("o_time")).cast("float"))
+          (col("pc") + lit(0.5f)) / (col("spidered_time") - col("o_time")).cast("float"))
           .otherwise(lit(0.0f)).cast("float"))
-      .drop("o_ip", "o_uh48", "o_time", "o_hash")
+      .drop("o_uh48", "o_time", "pc")
       .as[FrontierReply]
   }
 
@@ -961,6 +1187,17 @@ object Crawl {
       .map(_._2)
   }
 
+  /** Slim titledb projection for percentChanged: latest (uh48 →
+    * sample_vec). Column pruning reaches the parquet scan, so the
+    * html/text payload columns are never read, and the latest-per-url
+    * reduction shuffles 124-byte vectors, not page bodies. */
+  def loadTitleVecs(spark: SparkSession, workdir: String, i: Int): DataFrame =
+    loadTable(spark, workdir, i, "titledb")
+      .select(col("uh48"), col("spidered_time"), col("sample_vec"))
+      .groupBy("uh48")
+      .agg(max(struct(col("spidered_time"), col("sample_vec"))).as("s"))
+      .select(col("uh48"), col("s.sample_vec").as("sample_vec"))
+
   /** Inlink c-block state as of snapshot i (empty for pre-inlink
     * snapshots so resume keeps working). */
   def loadInlinkState(spark: SparkSession, workdir: String, i: Int): Dataset[InlinkState] = {
@@ -968,6 +1205,30 @@ object Crawl {
     val path = s"${snapDir(workdir, i)}/inlink_state"
     if (new java.io.File(path).exists) spark.read.parquet(path).as[InlinkState]
     else spark.emptyDataset[InlinkState]
+  }
+
+  /** A6 quota state (the reference's scan-built m_localTable,
+    * Spider.cpp:4355-4421): counts keyed by firstIp / siteHash32 /
+    * domHash32 (indexed pages, one vote per url) and by
+    * siteHash32^0x123456 / domHash32^0x123456 (manual-add seed counts).
+    * Maintained INCREMENTALLY from each iteration's newly-indexed and
+    * revised-manual-add transitions instead of the reference's full
+    * spiderdb re-scan. */
+  def loadQuotaState(spark: SparkSession, workdir: String, i: Int): DataFrame = {
+    import spark.implicits._
+    val path = s"${snapDir(workdir, i)}/quota_state"
+    if (new java.io.File(path).exists) spark.read.parquet(path)
+    else spark.emptyDataset[(Int, Long)].toDF("key", "n")
+  }
+
+  /** Minimal tagdb (see [[TagState]]): keyed by the SiteGetter site
+    * hash, carries the pinned firstip, the "site" tag bit, and the
+    * site-level inlinking c-blocks. Cumulative like ip/dom state. */
+  def loadTagState(spark: SparkSession, workdir: String, i: Int): Dataset[TagState] = {
+    import spark.implicits._
+    val path = s"${snapDir(workdir, i)}/tag_state"
+    if (new java.io.File(path).exists) spark.read.parquet(path).as[TagState]
+    else spark.emptyDataset[TagState]
   }
 
   /** A8 state: exact per-IP request counts as of snapshot i, maintained
@@ -1016,6 +1277,8 @@ object Crawl {
     val ipState = spark.read.parquet(s"$prev/ip_state").as[IpState]
     val domState = spark.read.parquet(s"$prev/dom_state").as[DomState]
     val inlinks = loadInlinkState(spark, workdir, i - 1)
+    val tagState = loadTagState(spark, workdir, i - 1)
+    val quotaState = loadQuotaState(spark, workdir, i - 1)
 
     val t0 = System.currentTimeMillis()
     val d = snapDir(workdir, i)
@@ -1028,8 +1291,10 @@ object Crawl {
     val overflowIps = ipCounts
       .filter(col("n") > cfg.overflowCap).select("first_ip")
 
-    val batch = schedule(requests, replies, ipState, domState, cfg, i, inlinks)
-    val results = fetch(batch, pages, robots, cfg, i, redirClosure)
+    val batch = schedule(requests, replies, ipState, domState, cfg, i, inlinks, quotaState)
+    // old-doc sample vectors for percentChanged — slim titledb projection
+    val oldVecs = loadTitleVecs(spark, workdir, i - 1)
+    val results = fetch(batch, pages, robots, cfg, i, redirClosure, oldVecs)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // STAGE 1 (job 1): fetch_log write with the outcome counters FUSED
@@ -1052,11 +1317,11 @@ object Crawl {
     val errors = scheduled - fetched - robotsDenied
     val outlinkTotal = Option(mLog("outs")).map(_.asInstanceOf[Long]).getOrElse(0L)
 
-    // J5: resolve outlink hosts via the host_meta join, then drop those
-    // landing on overflowed IPs (A8)
-    val resolved = resolveOutlinks(results, hostMeta)
+    // J5: resolve outlink hosts via the host_meta + tagdb joins, then
+    // drop those landing on overflowed IPs (A8)
+    val resolved = resolveOutlinks(results, hostMeta, tagState)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val candidates = resolved.map(_._2)
+    val candidates = resolved.map(_.req)
       .join(overflowIps.withColumnRenamed("first_ip", "of_ip"), col("first_ip") === col("of_ip"), "left_anti")
       .as[FrontierRequest]
 
@@ -1083,7 +1348,7 @@ object Crawl {
     // reference counts these as re-shards, not new urls —
     // Spider.cpp:4279-4282 skips fakeFirstIp in m_totalNewSpiderRequests)
     val revised = resolveRevised(
-      results.filter(_.errCode == Errs.EFAKEFIRSTIP), requests, hostMeta)
+      results.filter(_.errCode == Errs.EFAKEFIRSTIP), requests, hostMeta, tagState)
 
     // politeness state update: last download end per IP; crawl delay per dom
     val ipUpdates = results.groupByKey(_.task.first_ip)
@@ -1109,7 +1374,7 @@ object Crawl {
     // those dropped by the A8 overflow guard. O(urls-with-inlinks), not
     // O(frontier): merged per (first_ip, uh48) with a 20-cap.
     val newPairs = resolved
-      .map { case (cb, o) => (o.first_ip, o.uh48, cb) }
+      .map(r => (r.req.first_ip, r.req.uh48, r.parent_cblock))
       .toDF("first_ip", "uh48", "cblock")
       .join(overflowIps.withColumnRenamed("first_ip", "of_ip"),
         col("first_ip") === col("of_ip"), "left_anti")
@@ -1119,6 +1384,61 @@ object Crawl {
       .groupBy("first_ip", "uh48")
       .agg(slice(sort_array(collect_set(col("cblock"))), 1, 20).as("cblocks"))
       .as[InlinkState]
+
+    // tagdb maintenance, three delta streams merged into tag_state:
+    //  (a) updateTagdb at index time (XmlDoc.cpp updateTagdb): the doc's
+    //      SiteGetter site gets its "site" tag; the doc's ip pins the
+    //      firstip tag if this is the key's first row
+    //  (b) firstip pinning at outlink-resolution time (Spider.h:108-118:
+    //      "when we lookup the ip address of the subdomain of an outlink
+    //      for the first time we store that ip address into tagdb")
+    //  (c) linkdb accrual: the parent's /24 c-block counts toward the
+    //      linkee's RESOLVED site (linkdb keys embed the warm/cold
+    //      getLinkSiteHashes site, so cold-keyed links accrue under the
+    //      raw host — quirk preserved)
+    val docTags = results
+      .filter(r => r.errCode == Errs.OK && r.found)
+      .map { r =>
+        val site = graft.core.SiteGetter.site(r.task.url)
+        // never pin a FAKE firstip (injection/reindex tasks run under a
+        // docid-derived ip; the reference's getFirstIp pins the real DNS
+        // ip, XmlDoc.cpp:14157-14176)
+        val pinIp = if (Flags.has(r.task.req_flags, Flags.FakeFirstIp)) 0 else r.task.first_ip
+        TagState(GbHash.hash32(site), site, pinIp, has_site_tag = true, Array.empty[Int], i)
+      }
+    val pinTags = resolved.map(r =>
+      TagState(r.tag_key_hash32, r.tag_key, r.req.first_ip, has_site_tag = false, Array.empty[Int], i))
+    val linkTags = resolved.map(r =>
+      TagState(r.link_site_hash32, r.link_site, 0, has_site_tag = false, Array(r.parent_cblock), i))
+    val cap = cfg.siteInlinkCap
+    val mergedTag = tagState.union(docTags).union(pinTags).union(linkTags)
+      .groupByKey(_.site_hash32)
+      .reduceGroups((a, b) => combineTags(a, b, cap))
+      .map(_._2)
+
+    // A6 quota-state roll-forward (m_localTable, Spider.cpp:4355-4421):
+    //  - one vote per NEWLY indexed url → firstIp, siteHash32, domHash32
+    //    keys (the was_indexed flag makes the transition O(batch))
+    //  - one vote per answered manual add (the revised non-fake request;
+    //    fake-firstIp rows are skipped like the reference's
+    //    `if (sreq->m_fakeFirstIp) continue`) → the ^0x123456 seed keys
+    val indexedKeys = results
+      // one vote per url's FIRST index; a reindex re-fetch runs under a
+      // fake ip whose reply join can't see the prior OK reply, so gate
+      // on the flag too (the reference votes once per unique uh48)
+      .filter(r => r.errCode == Errs.OK && !r.task.was_indexed &&
+        !Flags.has(r.task.req_flags, Flags.IsPageReindex))
+      .flatMap(r => Seq(r.task.first_ip, r.task.site_hash32, r.task.dom_hash32))
+      .toDF("key")
+    val manualKeys = revised.toDF()
+      .filter(col("flags").bitwiseAND(lit(Flags.IsAddUrl | Flags.IsInjecting)) =!= 0)
+      .select(explode(array(
+        col("site_hash32").bitwiseXOR(lit(0x123456)),
+        col("dom_hash32").bitwiseXOR(lit(0x123456)))).as("key"))
+    val mergedQuota = quotaState
+      .unionByName(indexedKeys.unionByName(manualKeys)
+        .groupBy("key").agg(count(lit(1)).as("n")))
+      .groupBy("key").agg(sum(col("n")).as("n"))
 
     // STAGE 2: everything else is one CONCURRENT write graph (results is
     // already materialized in cache by the fetch_log job, so concurrent
@@ -1165,13 +1485,16 @@ object Crawl {
         Future { mergedIp.write.mode("overwrite").parquet(s"$d/ip_state") },
         Future { mergedDom.write.mode("overwrite").parquet(s"$d/dom_state") },
         Future { mergedInl.write.mode("overwrite").parquet(s"$d/inlink_state") },
+        Future { mergedTag.write.mode("overwrite").parquet(s"$d/tag_state") },
+        Future { mergedQuota.write.mode("overwrite").parquet(s"$d/quota_state") },
         Future {
           // S7: titledb sink — the crawled-content snapshot (Titledb.cpp
           // titleRec analogue): raw bytes + extracted text per fetched
           // url, appended as a delta; compaction keeps latest per uh48
           results.filter(_.found)
             .map(r => TitleRow(r.task.uh48, r.task.url, nowSecs(cfg, i),
-              r.httpStatus, r.lang, r.contentHash32, r.html, r.extractedText))
+              r.httpStatus, r.lang, r.contentHash32, r.html, r.extractedText,
+              if (r.sampleVec == null) Array.empty[Int] else r.sampleVec))
             .write.mode("overwrite").parquet(s"$d/titledb_delta")
         }
       )
@@ -1284,6 +1607,8 @@ object Crawl {
     spark.emptyDataset[FrontierReply].write.mode("overwrite").parquet(s"$d/replies")
     spark.emptyDataset[IpState].write.mode("overwrite").parquet(s"$d/ip_state")
     spark.emptyDataset[DomState].write.mode("overwrite").parquet(s"$d/dom_state")
+    spark.emptyDataset[TagState].write.mode("overwrite").parquet(s"$d/tag_state")
+    spark.emptyDataset[(Int, Long)].toDF("key", "n").write.mode("overwrite").parquet(s"$d/quota_state")
     spark.emptyDataset[InlinkState].write.mode("overwrite").parquet(s"$d/inlink_state")
     spark.emptyDataset[TitleRow].write.mode("overwrite").parquet(s"$d/titledb")
     Seq.empty[(Int, Int, Int, String, Int, Int)].toDF("iteration", "first_ip", "seq", "url", "priority", "err_code")

@@ -119,6 +119,39 @@ final case class DomState(dom_hash32: Int, crawl_delay_ms: Int)
   * reproduce across merges). */
 final case class InlinkState(first_ip: Int, uh48: Long, cblocks: Array[Int])
 
+/** Minimal tagdb: one row per tagdb KEY — the url's SiteGetter site
+  * string, which is what `Msg8a::getTagRec` keys lookups by
+  * (`Tagdb.cpp:2597-2623` runs SiteGetter to derive the key; for plain
+  * hosts the key IS the hostname). Tags modelled:
+  *
+  *  - `first_ip`: the pinned firstip tag (Spider.h:108-118 — "anytime we
+  *    add outlinks from the same subdomain in the future they are
+  *    guaranteed to get the same firstip even if the actual ip
+  *    changed"). 0 = unset; pinned by the EARLIEST stamp.
+  *  - `has_site_tag`: the "site" tag exists — written when a doc of the
+  *    site is indexed (`XmlDoc::updateTagdb`). Gates the warm path of
+  *    `getLinkSiteHashes` (XmlDoc.cpp:8905-8920): outlinks to sites with
+  *    the tag carry hash32(site); cold outlinks fall back to the RAW
+  *    host hash (no www-prepend, no recognized-site guess).
+  *  - `cblocks`: distinct /24 c-blocks of parents that linked INTO the
+  *    site (linkdb → Msg25 "no more than 1 per c block" analogue,
+  *    XmlDoc.cpp:14178 comment). `sitenuminlinks` = cblocks.length once
+  *    `has_site_tag` is set (the reference stores the Msg25 count as a
+  *    tag at index time; this engine derives it from the same state,
+  *    always fresh — a superset of the reference's ≤45-day-stale cache).
+  *    Capped at the `siteInlinkCap` smallest (deterministic, same
+  *    convention as InlinkState).
+  *
+  * `stamp` = iteration that created the row (pinning order). */
+final case class TagState(
+    site_hash32: Int,
+    site: String,
+    first_ip: Int,
+    has_site_tag: Boolean,
+    cblocks: Array[Int],
+    stamp: Int
+)
+
 /** One scheduled fetch (a doledb entry; Spider.h:1133-1157).
   * `was_indexed`: this url had a prior successful reply — feeds the
   * outlinks' wasParentIndexed flag (XmlDoc.cpp:27891 `*ipi`). */
@@ -132,7 +165,11 @@ final case class FetchTask(
     hop_count: Int,
     seq_in_ip: Int, // dole order within the IP this iteration
     was_indexed: Boolean = false,
-    req_flags: Long = 0L // request flag bits (EFAKEFIRSTIP lifecycle)
+    req_flags: Long = 0L, // request flag bits (EFAKEFIRSTIP lifecycle)
+    // the request's site/dom hashes, carried so the A6 quota state can
+    // be maintained from the batch alone — no O(frontier) re-join
+    site_hash32: Int = 0,
+    dom_hash32: Int = 0
 )
 
 /** S7: one crawled-content record ≅ a titledb titleRec
@@ -148,7 +185,11 @@ final case class TitleRow(
     lang: String,
     content_hash32: Int,
     html: Array[Byte],
-    text: String
+    text: String,
+    // TitleRec m_pageSampleVec analogue (XmlDoc.cpp:9527): ≤31 unique
+    // 32-bit word ids — the old-doc side of percentChanged, stored so
+    // the respider diff reads 124 bytes, not the old text
+    sample_vec: Array[Int] = Array.empty
 )
 
 /** Per-iteration, per-partition lineage counters (north_rule). */

@@ -19,6 +19,8 @@ object Native {
   def domainOf(s: UTF8String): UTF8String = UTF8String.fromString(GbUrl.parse(s.toString).domain)
   def firstIpOf(s: UTF8String): Int = { val u = GbUrl.parse(s.toString); u.fakeFirstIp }
   def extractText(html: Array[Byte]): UTF8String = UTF8String.fromBytes(GbXml.extractTextBytes(html))
+  /** hash32 of the url's tagdb key (SiteGetter site; Tagdb.cpp:2597-2623). */
+  def siteKeyHash32(s: UTF8String): Int = graft.core.SiteGetter.siteHash32(s.toString)
 }
 
 /** Native Catalyst expressions for the engine's scalar kernel functions
@@ -26,38 +28,57 @@ object Native {
   * as SQL functions `uh48`, `gb_hash32`, `canonicalize_url`, `url_host`,
   * `url_domain`, `fake_first_ip`, `extract_text` via
   * [[GraftExtensions]] (spark.sql.extensions) or [[registerAll]]. */
-abstract class GraftUnary(name: String, javaCall: String, dt: DataType) extends UnaryExpression {
+// NOTE: no constructor parameters — Java deserialization requires every
+// non-serializable superclass to expose a no-arg constructor, and these
+// expressions ride inside task-serialized join-key Seqs (an abstract
+// parent with ctor params breaks with "no valid constructor").
+abstract class GraftUnary extends UnaryExpression {
+  protected def fnName: String
+  protected def javaCall: String
+  protected def dt: DataType
   override def dataType: DataType = dt
-  override def prettyName: String = name
+  override def prettyName: String = fnName
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Native.$javaCall($c)")
 }
 
-case class Uh48Expr(child: Expression) extends GraftUnary("uh48", "uh48", LongType) {
+case class Uh48Expr(child: Expression) extends GraftUnary {
+  protected def fnName = "uh48"; protected def javaCall = "uh48"; protected def dt = LongType
   override protected def nullSafeEval(in: Any): Any = Native.uh48(in.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
-case class Hash32Expr(child: Expression) extends GraftUnary("gb_hash32", "hash32", IntegerType) {
+case class Hash32Expr(child: Expression) extends GraftUnary {
+  protected def fnName = "gb_hash32"; protected def javaCall = "hash32"; protected def dt = IntegerType
   override protected def nullSafeEval(in: Any): Any = Native.hash32(in.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
-case class CanonicalizeUrlExpr(child: Expression) extends GraftUnary("canonicalize_url", "canonicalizeUrl", StringType) {
+case class CanonicalizeUrlExpr(child: Expression) extends GraftUnary {
+  protected def fnName = "canonicalize_url"; protected def javaCall = "canonicalizeUrl"; protected def dt = StringType
   override protected def nullSafeEval(in: Any): Any = Native.canonicalizeUrl(in.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
-case class UrlHostExpr(child: Expression) extends GraftUnary("url_host", "hostOf", StringType) {
+case class UrlHostExpr(child: Expression) extends GraftUnary {
+  protected def fnName = "url_host"; protected def javaCall = "hostOf"; protected def dt = StringType
   override protected def nullSafeEval(in: Any): Any = Native.hostOf(in.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
-case class UrlDomainExpr(child: Expression) extends GraftUnary("url_domain", "domainOf", StringType) {
+case class UrlDomainExpr(child: Expression) extends GraftUnary {
+  protected def fnName = "url_domain"; protected def javaCall = "domainOf"; protected def dt = StringType
   override protected def nullSafeEval(in: Any): Any = Native.domainOf(in.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
-case class FakeFirstIpExpr(child: Expression) extends GraftUnary("fake_first_ip", "firstIpOf", IntegerType) {
+case class FakeFirstIpExpr(child: Expression) extends GraftUnary {
+  protected def fnName = "fake_first_ip"; protected def javaCall = "firstIpOf"; protected def dt = IntegerType
   override protected def nullSafeEval(in: Any): Any = Native.firstIpOf(in.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
-case class ExtractTextExpr(child: Expression) extends GraftUnary("extract_text", "extractText", StringType) {
+case class SiteKeyHash32Expr(child: Expression) extends GraftUnary {
+  protected def fnName = "site_key_hash32"; protected def javaCall = "siteKeyHash32"; protected def dt = IntegerType
+  override protected def nullSafeEval(in: Any): Any = Native.siteKeyHash32(in.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+case class ExtractTextExpr(child: Expression) extends GraftUnary {
+  protected def fnName = "extract_text"; protected def javaCall = "extractText"; protected def dt = StringType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == BinaryType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(s"extract_text needs binary, got ${child.dataType}")
@@ -76,6 +97,7 @@ object GraftFunctions {
   def urlDomain(c: Column): Column = column(UrlDomainExpr(expression(c)))
   def fakeFirstIp(c: Column): Column = column(FakeFirstIpExpr(expression(c)))
   def extractText(c: Column): Column = column(ExtractTextExpr(expression(c)))
+  def siteKeyHash32(c: Column): Column = column(SiteKeyHash32Expr(expression(c)))
 
   private val fns: Seq[(String, Expression => Expression)] = Seq(
     "uh48" -> (Uh48Expr(_)),
@@ -84,7 +106,8 @@ object GraftFunctions {
     "url_host" -> (UrlHostExpr(_)),
     "url_domain" -> (UrlDomainExpr(_)),
     "fake_first_ip" -> (FakeFirstIpExpr(_)),
-    "extract_text" -> (ExtractTextExpr(_)))
+    "extract_text" -> (ExtractTextExpr(_)),
+    "site_key_hash32" -> (SiteKeyHash32Expr(_)))
 
   /** Register as SQL functions on an existing session. */
   def registerAll(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
@@ -105,7 +128,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "url_host" -> (cs => UrlHostExpr(cs.head)),
       "url_domain" -> (cs => UrlDomainExpr(cs.head)),
       "fake_first_ip" -> (cs => FakeFirstIpExpr(cs.head)),
-      "extract_text" -> (cs => ExtractTextExpr(cs.head))
+      "extract_text" -> (cs => ExtractTextExpr(cs.head)),
+      "site_key_hash32" -> (cs => SiteKeyHash32Expr(cs.head))
     ).foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name), new ExpressionInfo("graft.functions", name), builder))
     }

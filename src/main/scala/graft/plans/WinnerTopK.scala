@@ -13,7 +13,7 @@ import org.apache.spark.unsafe.types.UTF8String
 final class WinnerItem(
     val uh48: Long, val url: UTF8String, val priority: Int, val ufn: Int,
     val timeMs: Long, val hop: Int, val ipMax: Int, val wasIndexed: Boolean,
-    val reqFlags: Long)
+    val reqFlags: Long, val siteHash32: Int, val domHash32: Int)
 
 /** Bounded winner heap: keeps the ≤ k best candidates in winner-tree key
   * order — priority DESC, hopCount ASC, spiderTimeMS ASC, uh48 ASC (the
@@ -97,7 +97,9 @@ object WinnerTopK {
     StructField("hop_count", IntegerType, nullable = false),
     StructField("ip_max", IntegerType, nullable = false),
     StructField("was_indexed", BooleanType, nullable = false),
-    StructField("req_flags", LongType, nullable = false)))
+    StructField("req_flags", LongType, nullable = false),
+    StructField("site_hash32", IntegerType, nullable = false),
+    StructField("dom_hash32", IntegerType, nullable = false)))
 }
 
 /** A2 winner selection as a BOUNDED-state aggregate (SURVEY §4): the
@@ -113,12 +115,13 @@ object WinnerTopK {
 case class WinnerTopK(
     uh48: Expression, url: Expression, priority: Expression, ufn: Expression,
     timeMs: Expression, hop: Expression, ipMax: Expression, wasIndexed: Expression,
-    reqFlags: Expression, k: Int,
+    reqFlags: Expression, siteHash32: Expression, domHash32: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[WinnerHeap] {
 
   override def children: Seq[Expression] =
-    Seq(uh48, url, priority, ufn, timeMs, hop, ipMax, wasIndexed, reqFlags)
+    Seq(uh48, url, priority, ufn, timeMs, hop, ipMax, wasIndexed, reqFlags,
+      siteHash32, domHash32)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(WinnerTopK.itemType, containsNull = false)
   override def prettyName: String = "winner_topk"
@@ -135,7 +138,9 @@ case class WinnerTopK(
       hop.eval(in).asInstanceOf[Int],
       ipMax.eval(in).asInstanceOf[Int],
       wasIndexed.eval(in).asInstanceOf[Boolean],
-      reqFlags.eval(in).asInstanceOf[Long]))
+      reqFlags.eval(in).asInstanceOf[Long],
+      siteHash32.eval(in).asInstanceOf[Int],
+      domHash32.eval(in).asInstanceOf[Int]))
     b
   }
 
@@ -149,7 +154,7 @@ case class WinnerTopK(
       val it = items(i)
       rows(i) = new GenericInternalRow(Array[Any](
         it.uh48, it.url, it.priority, it.ufn, it.timeMs, it.hop, it.ipMax,
-        it.wasIndexed, it.reqFlags))
+        it.wasIndexed, it.reqFlags, it.siteHash32, it.domHash32))
       i += 1
     }
     new GenericArrayData(rows)
@@ -168,6 +173,7 @@ case class WinnerTopK(
       o.writeInt(it.priority); o.writeInt(it.ufn)
       o.writeLong(it.timeMs); o.writeInt(it.hop); o.writeInt(it.ipMax)
       o.writeBoolean(it.wasIndexed); o.writeLong(it.reqFlags)
+      o.writeInt(it.siteHash32); o.writeInt(it.domHash32)
       i += 1
     }
     o.flush()
@@ -185,8 +191,9 @@ case class WinnerTopK(
       val pri = in.readInt(); val uf = in.readInt()
       val t = in.readLong(); val hp = in.readInt(); val im = in.readInt()
       val wi = in.readBoolean(); val fl = in.readLong()
+      val s32 = in.readInt(); val d32 = in.readInt()
       // heap order is preserved by straight copy (same comparator)
-      h.insert(new WinnerItem(uh, UTF8String.fromBytes(ub), pri, uf, t, hp, im, wi, fl))
+      h.insert(new WinnerItem(uh, UTF8String.fromBytes(ub), pri, uf, t, hp, im, wi, fl, s32, d32))
       i += 1
     }
     h
@@ -198,7 +205,8 @@ case class WinnerTopK(
     copy(inputAggBufferOffset = offset)
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): WinnerTopK =
     copy(uh48 = cs(0), url = cs(1), priority = cs(2), ufn = cs(3), timeMs = cs(4),
-      hop = cs(5), ipMax = cs(6), wasIndexed = cs(7), reqFlags = cs(8))
+      hop = cs(5), ipMax = cs(6), wasIndexed = cs(7), reqFlags = cs(8),
+      siteHash32 = cs(9), domHash32 = cs(10))
 }
 
 object WinnerTopKColumn {
@@ -208,10 +216,11 @@ object WinnerTopKColumn {
   /** winner_topk(...) as a Column aggregate. */
   def apply(uh48: Column, url: Column, priority: Column, ufn: Column,
             timeMs: Column, hop: Column, ipMax: Column, wasIndexed: Column,
-            reqFlags: Column, k: Int): Column =
+            reqFlags: Column, siteHash32: Column, domHash32: Column, k: Int): Column =
     toColumn(WinnerTopK(
       toExpression(uh48), toExpression(url), toExpression(priority),
       toExpression(ufn), toExpression(timeMs), toExpression(hop),
-      toExpression(ipMax), toExpression(wasIndexed), toExpression(reqFlags), k)
+      toExpression(ipMax), toExpression(wasIndexed), toExpression(reqFlags),
+      toExpression(siteHash32), toExpression(domHash32), k)
       .toAggregateExpression())
 }

@@ -61,16 +61,30 @@ final case class UfnRequest(
     hasMediaExtension: Boolean = false,
     fakeFirstIp: Boolean = false,
     hadReply: Boolean = false,
-    wasParentIndexed: Boolean = false
+    wasParentIndexed: Boolean = false,
+    // A6 quota-table lookups, resolved by joins before evaluation (the
+    // reference's quotaTable->getValue on siteHash32 / domHash32 and
+    // their ^0x123456 seed-count aliases, Spider.cpp:12659-12800;
+    // missing key → 0, ":12677 if no count in table ... a=0"). Only
+    // read when RuleCtx.quotaValid.
+    siteHash32: Int = 0,
+    sitePages: Int = 0,
+    domainPages: Int = 0,
+    siteAdds: Int = 0,
+    domainAdds: Int = 0
 )
 
 /** Collection-level evaluation context: site list + crawl/process
-  * patterns (the reference reads these from SpiderColl/CollectionRec). */
+  * patterns (the reference reads these from SpiderColl/CollectionRec).
+  * `quotaValid` models the reference's `quotaTable` pointer being
+  * non-NULL (Spider.cpp:12668,12750,12792): the page/seed quota counts
+  * (A6) were computed for this scan. */
 final case class RuleCtx(
     siteListEmpty: Boolean = true,
     siteListMatch: String => Boolean = _ => false,
     siteTagMatch: (String, String) => Boolean = (_, _) => false,
-    patterns: CrawlPatterns = CrawlPatterns())
+    patterns: CrawlPatterns = CrawlPatterns(),
+    quotaValid: Boolean = false)
 
 /** Reply-side context (subset of SpiderReply, Spider.h:926-1103). */
 final case class UfnReply(
@@ -138,6 +152,10 @@ object UrlFilters {
 
   private sealed trait Tok
   private case object RowSkip extends Tok // predicate unevaluable → skip row
+  // `domainpages` with no quota table aborts the WHOLE filter run with
+  // -1 (Spider.cpp:12797 `return -1;`) — unlike sitepages/siteadds/
+  // domainadds, which merely `continue` to the next rule. Quirk ported.
+  private case object Abort extends Tok
   private case class Bool(matched: Boolean) extends Tok
 
   /** First matching rule index, or -1 (Spider.cpp:11695-13536).
@@ -155,8 +173,11 @@ object UrlFilters {
                       ctx: RuleCtx): Int = {
     var i = 0
     while (i < rules.length) {
-      if (ruleMatchesCtx(rules(i).expr, req, rep, nowGlobal, ctx))
-        return i
+      ruleMatch3(rules(i).expr, req, rep, nowGlobal, ctx) match {
+        case 1 => return i
+        case 2 => return -1 // Abort (Spider.cpp:12797)
+        case _ =>
+      }
       i += 1
     }
     -1
@@ -169,19 +190,25 @@ object UrlFilters {
       RuleCtx(siteListEmpty = siteListEmpty, siteListMatch = siteListMatch))
 
   def ruleMatchesCtx(expr: String, req: UfnRequest, rep: Option[UfnReply], nowGlobal: Long,
-                     ctx: RuleCtx): Boolean = {
+                     ctx: RuleCtx): Boolean =
+    ruleMatch3(expr, req, rep, nowGlobal, ctx) == 1
+
+  /** 0 = no match, 1 = match, 2 = abort the whole filter run (-1). */
+  private def ruleMatch3(expr: String, req: UfnRequest, rep: Option[UfnReply], nowGlobal: Long,
+                         ctx: RuleCtx): Int = {
     // split on && — the reference scans for the literal "&&"
     val parts = expr.split("&&")
     var k = 0
     while (k < parts.length) {
       evalToken(parts(k).trim, req, rep, nowGlobal, ctx) match {
-        case RowSkip => return false
-        case Bool(false) => return false
+        case RowSkip => return 0
+        case Abort => return 2
+        case Bool(false) => return 0
         case Bool(true) => // next token
       }
       k += 1
     }
-    parts.nonEmpty
+    if (parts.nonEmpty) 1 else 0
   }
 
   // evaluate one token (with optional leading '!')
@@ -319,6 +346,21 @@ object UrlFilters {
             case Some(r) => return Bool(cmp(r.errCode, value.toDouble.toInt, sign))
           }
         case "numinlinks" => return Bool(cmp(req.pageNumInlinks, value.toDouble.toInt, sign))
+        // A6 quotas (Spider.cpp:12659-12800). No quota table → the rule
+        // is skipped ("continue"), EXCEPT domainpages which aborts the
+        // whole run with -1 — asymmetric in the reference, ported as-is.
+        case "sitepages" =>
+          if (!ctx.quotaValid) return RowSkip
+          return Bool(cmp(req.sitePages, value.toDouble.toInt, sign))
+        case "domainpages" =>
+          if (!ctx.quotaValid) return Abort
+          return Bool(cmp(req.domainPages, value.toDouble.toInt, sign))
+        case "siteadds" =>
+          if (!ctx.quotaValid) return RowSkip
+          return Bool(cmp(req.siteAdds, value.toDouble.toInt, sign))
+        case "domainadds" =>
+          if (!ctx.quotaValid) return RowSkip
+          return Bool(cmp(req.domainAdds, value.toDouble.toInt, sign))
         case "sitenuminlinks" =>
           // freshest of request/reply (Spider.cpp:13182-13218)
           val a1 = req.siteNumInlinks

@@ -339,49 +339,14 @@ object TextOps {
       size(array_distinct(split(trim(col("text")), "\\s+"))).as("distinct_tokens"))
   }
 
-  /** Language id: two-stage deterministic classifier (X14 analogue).
-    * Stage 1 — script detection by codepoint range (CJK/kana/hangul/
-    * cyrillic/arabic): non-latin scripts are decided by character share,
-    * which trigram profiles over latin text can never do. Stage 2 —
-    * character-trigram profiles for latin-script languages. */
-  private val langProfiles: Map[String, Set[String]] = Map(
-    "en" -> Set("the", "and", "ing", "ion", "of ", " th", "he ", "ed "),
-    "es" -> Set("que", "los", "de ", "ión", "ado", " la", "el ", "ar "),
-    "de" -> Set("der", "ein", "und", "sch", "ich", "die", "cht", "ung"),
-    "fr" -> Set("les", " le", "ent", "que", "des", "ait", "eur", "oir"),
-    "it" -> Set("che", " di", "ere", "zza", "ione", "gli", "tto", "lla"),
-    "pt" -> Set("ção", " de", "os ", "ado", "nho", "ara", "ram", "ões")
-  )
-
+  /** Language id (X14): see [[graft.core.GbLang]]. */
   def langIdOf(text: String): String = {
-    var cjk = 0; var kana = 0; var hangul = 0; var cyr = 0; var arab = 0; var letters = 0
-    var i = 0
-    val lim = math.min(text.length, 2000)
-    while (i < lim) {
-      val c = text.charAt(i).toInt
-      if (Character.isLetter(c)) {
-        letters += 1
-        if (c >= 0x4e00 && c <= 0x9fff) cjk += 1
-        else if ((c >= 0x3040 && c <= 0x30ff)) kana += 1
-        else if (c >= 0xac00 && c <= 0xd7af) hangul += 1
-        else if (c >= 0x0400 && c <= 0x04ff) cyr += 1
-        else if (c >= 0x0600 && c <= 0x06ff) arab += 1
-      }
-      i += 1
-    }
-    if (letters > 0) {
-      // script share thresholds: 30% of letters decides the script
-      if (kana * 10 >= letters * 3) return "ja"
-      if (hangul * 10 >= letters * 3) return "ko"
-      if (cjk * 10 >= letters * 3) return "zh" // han without kana
-      if (cyr * 10 >= letters * 3) return "ru"
-      if (arab * 10 >= letters * 3) return "ar"
-    }
-    val t = text.toLowerCase
-    val grams = t.sliding(3).take(2000).toSeq
-    val scores = langProfiles.map { case (l, prof) => l -> grams.count(prof.contains) }
-    val best = scores.maxBy { case (l, s) => (s, l) }
-    if (best._2 == 0) "und" else best._1
+    // the X14 pipeline (GbLang: dictionary word voting + script fallback
+    // + 5-word window smoothing + majority vote — the reference's
+    // setLangVec/computeLangId shape with a curated dictionary standing
+    // in for the wiktionary data file)
+    val lid = graft.core.GbLang.docLangId(text)
+    if (lid == graft.core.GbLang.langUnknown) "und" else graft.core.GbLang.abbr(lid)
   }
 
   def langId(docs: DataFrame): DataFrame = {

@@ -31,8 +31,9 @@ object GenRefCorpus {
       p <- 0 until Corpus.micro.pagesPerHost
     } yield Page("micro", k, p, Corpus.pageUrl(k, p, Corpus.micro), Corpus.pageBytes(k, p, Corpus.micro))
     // bench hosts include k≡6 (mod 8) so the latin1/meta-charset pages
-    // (isLatin1Page) are covered by reference-derived goldens
-    val benchHosts = Seq(0, 1, 2, 6, 14, 31, 999, 1998, 1999)
+    // (isLatin1Page) are covered, and k≡3 (mod 8) for the domain-only
+    // user-dir hosts (tagdb/SiteGetter corpus class)
+    val benchHosts = Seq(0, 1, 2, 3, 6, 11, 14, 31, 999, 1998, 1999)
     val bench = for {
       k <- benchHosts
       p <- 0 until Corpus.bench.pagesPerHost

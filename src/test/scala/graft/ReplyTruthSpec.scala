@@ -62,19 +62,32 @@ class ReplyTruthSpec extends AnyFunSuite {
     import spark.implicits._
     val cfg = Crawl.Config()
     val task = FetchTask(1L, 9, "http://x.test/a", 40, 17, 0L, 1, 0)
+    // percentChanged is the page-sample-vector SIMILARITY computed in
+    // fetch (GbSampleVec; 100 = unchanged); repliesOf applies
+    // (pc + .5) / numDays with numDays actually SECONDS
+    // (XmlDoc.cpp:27194-27198)
     val res = spark.createDataset(Seq(Crawl.FetchResult(task, found = true, allowed = true,
-      250, 200, Errs.OK, "en", contentHash32 = 777, downloadEndMs = 0L, Nil, "t")))
+      250, 200, Errs.OK, "en", contentHash32 = 777, downloadEndMs = 0L, Nil, "t",
+      percentChanged = 40f)))
     val oldRep = FrontierReply(1L, 9, Crawl.nowSecs(cfg, 3) - 100, 0, 200, -1, 0L, "en", 555, 0f, 0L, 0)
     val out = Crawl.repliesOf(res, spark.createDataset(Seq(oldRep)), cfg, 3).collect().head
-    // changed hash: (100 + 0.5) / 100 secs
-    assert(math.abs(out.percent_changed_per_day - 1.005f) < 1e-5, out.percent_changed_per_day.toString)
-    // unchanged hash → (0 + 0.5) / 100
+    assert(math.abs(out.percent_changed_per_day - 0.405f) < 1e-5, out.percent_changed_per_day.toString)
+    // unchanged page (similarity 100) → (100 + .5) / 100
     val res2 = spark.createDataset(Seq(Crawl.FetchResult(task, found = true, allowed = true,
-      250, 200, Errs.OK, "en", contentHash32 = 555, downloadEndMs = 0L, Nil, "t")))
+      250, 200, Errs.OK, "en", contentHash32 = 555, downloadEndMs = 0L, Nil, "t",
+      percentChanged = 100f)))
     val out2 = Crawl.repliesOf(res2, spark.createDataset(Seq(oldRep)), cfg, 3).collect().head
-    assert(math.abs(out2.percent_changed_per_day - 0.005f) < 1e-6)
+    assert(math.abs(out2.percent_changed_per_day - 1.005f) < 1e-5)
+    // the old-doc lookup is by uh48 ALONE (getOldXmlDoc is docid-based) —
+    // a reindex re-fetch under a fake ip still finds its old doc
+    val fakeIpTask = task.copy(first_ip = 12345)
+    val res3 = spark.createDataset(Seq(Crawl.FetchResult(fakeIpTask, found = true, allowed = true,
+      250, 200, Errs.OK, "en", contentHash32 = 777, downloadEndMs = 0L, Nil, "t",
+      percentChanged = 40f)))
+    val out3 = Crawl.repliesOf(res3, spark.createDataset(Seq(oldRep)), cfg, 3).collect().head
+    assert(math.abs(out3.percent_changed_per_day - 0.405f) < 1e-5)
     // no prior reply → 0
-    val out3 = Crawl.repliesOf(res, spark.emptyDataset[FrontierReply], cfg, 3).collect().head
-    assert(out3.percent_changed_per_day == 0f)
+    val out4 = Crawl.repliesOf(res, spark.emptyDataset[FrontierReply], cfg, 3).collect().head
+    assert(out4.percent_changed_per_day == 0f)
   }
 }

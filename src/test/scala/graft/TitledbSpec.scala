@@ -15,11 +15,20 @@ class TitledbSpec extends AnyFunSuite {
     val i = Crawl.latestSnapshot(work).get
     val rows = Crawl.loadTitledb(spark, work, i).collect()
     assert(rows.nonEmpty)
-    // every record is a successfully fetched page with its raw bytes and
-    // byte-exact extracted text
+    // every record is a successfully fetched page with its raw SERVED
+    // bytes and byte-exact extracted text. Frame-bearing pages (k≡2 mod
+    // 8 roots) store the extraction of the EXPANDED doc (iframe
+    // contents spliced in, getExpandedUtf8Content) — their text is a
+    // superset of the unexpanded extraction.
     rows.foreach { t =>
       assert(t.http_status == 200 && t.html != null && t.html.nonEmpty, t.url)
-      assert(GbXml.extractText(t.html) == t.text, s"titledb text mismatch for ${t.url}")
+      if (!graft.core.GbIframe.mayHaveFrames(t.html))
+        assert(GbXml.extractText(t.html) == t.text, s"titledb text mismatch for ${t.url}")
+      else {
+        val unexpanded = GbXml.extractText(t.html)
+        assert(t.text.startsWith(unexpanded.takeWhile(_ != '\n')), t.url)
+        assert(t.text.length >= unexpanded.length, s"expanded text shorter for ${t.url}")
+      }
     }
     // one record per uh48
     assert(rows.map(_.uh48).distinct.length == rows.length)
