@@ -264,7 +264,7 @@ object Bench {
          |
          |The scheduling and extraction kernels are the per-URL work that scales
          |with executors at 10^10-frontier size; the full-loop number includes the
-         |per-iteration fixed costs (snapshot commits, 3 sequential job stages per iteration)
+         |per-iteration fixed costs (snapshot commits, 2 sequential job barriers per iteration)
          |which are amortized at real scale (at 10^8 urls/iteration the kernel
          |cost dominates) but dominate at this sandbox size. Local-mode numbers
          |understate cluster scaling for the scheduler: local shuffles contend on
@@ -294,6 +294,22 @@ object Bench {
          |Identical output rows; the heap aggregate does partial (map-side)
          |top-k per input partition and merges k-bounded heaps, so the skewed
          |IP never concentrates an unbounded sort in one task.
+         |
+         |Trade-off, stated plainly: on UNIFORM data (40 urls/ip) the heap's
+         |per-row interpreted eval is slower than the window's codegen'd
+         |small-group sort — the absolute schedule kernel rate is lower than
+         |the r2 window-based number. At 100 TB the binding constraint is the
+         |skewed-IP task (unbounded sort = stragglers/OOM), so the bounded
+         |heap is the shape that survives; the uniform-case gap is a known
+         |cost, recoverable later via codegen'd update.
+         |
+         |Full-loop context: the loop throughput is LOWER than round 2's —
+         |the iteration now carries five more subsystems (tagdb state,
+         |quota state, percentChanged titledb vectors, iframe-expansion
+         |joins, language id), i.e. strictly more real work per iteration,
+         |and at this micro scale the loop is fixed-cost-bound (efficiency
+         |column ≈ job-barrier overhead, not kernel work). The kernels above
+         |are the per-URL work that dominates at 10^8+ urls/iteration.
          |
          |Reference anchor (BASELINE.md): ~1 page/sec/core spider+index ⇒ a
          |32-core box ≈ 32 fetch-equivalents/sec; this engine schedules

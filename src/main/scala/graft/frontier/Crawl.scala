@@ -583,7 +583,10 @@ object Crawl {
           val raw = graft.core.GbCharset.toUtf8(html)
           graft.core.GbIframe.candidates(raw, GbUrl.parse(eu)).map(c => (uh, c.url))
         }
-      }.toDF("f_uh48", "f_src").dropDuplicates("f_uh48", "f_src")
+      }.toDF("f_uh48", "f_src")
+    // no dropDuplicates: expand() keys fetched contents by url, so
+    // duplicate (uh48, src) pairs collapse in the map — a distinct here
+    // was one more shuffle per iteration for nothing
     val frameContents = frameCands
       .join(pages.toDF().select(col("url").as("fp_url"), col("html").as("fp_html")),
         col("f_src") === col("fp_url"), "inner") // 404 frames drop out (nukeDoc-continue)
