@@ -1443,13 +1443,17 @@ object Crawl {
         .groupBy("key").agg(count(lit(1)).as("n")))
       .groupBy("key").agg(sum(col("n")).as("n"))
 
-    // STAGE 2: everything else is one CONCURRENT write graph (results is
-    // already materialized in cache by the fetch_log job, so concurrent
-    // jobs share partitions instead of recomputing the fetch). The only
-    // ordering edges are requests_delta → {seen_bloom, ip_counts}, which
-    // both read the just-written (tiny) delta. Per-iteration fixed cost
-    // is the full-loop bottleneck at small batch sizes (VERDICT r1/r2);
-    // this collapses the former 3 sequential barriers into 2.
+    // STAGE 2: everything else is ONE flat concurrent write batch
+    // (results is already materialized in cache by the fetch_log job, so
+    // concurrent jobs share partitions instead of recomputing the
+    // fetch). fresh/revised are persisted so the bloom and A8-count
+    // roll-forwards derive from the SAME admitted rows as the delta
+    // write without re-reading it from parquet — the former
+    // delta→{bloom, counts} ordering edge is gone, leaving exactly one
+    // job barrier after fetch_log. Per-iteration fixed cost is the
+    // full-loop bottleneck at small batch sizes (VERDICT r1/r2).
+    val freshP = fresh.persist(StorageLevel.MEMORY_AND_DISK)
+    val revisedP = revised.persist(StorageLevel.MEMORY_AND_DISK)
     val newUrls = {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
@@ -1459,25 +1463,26 @@ object Crawl {
         // job (revised EFAKEFIRSTIP re-adds are re-shards, not new urls —
         // Spider.cpp:4279-4282 skips fakeFirstIp in m_totalNewSpiderRequests)
         val obsNew = org.apache.spark.sql.Observation()
-        fresh.toDF().withColumn("rev", lit(0))
-          .unionByName(revised.toDF().withColumn("rev", lit(1)))
+        freshP.toDF().withColumn("rev", lit(0))
+          .unionByName(revisedP.toDF().withColumn("rev", lit(1)))
           .observe(obsNew, sum(when(col("rev") === 0, 1L).otherwise(0L)).as("n"))
           .drop("rev")
           .write.mode("overwrite").parquet(s"$d/requests_delta")
         Option(obsNew.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
       }
-      val fBloom = fDelta.map { _ =>
+      val fBloom = Future {
         // incremental seen-bloom maintenance: only touched buckets
-        // rewritten, fed from the just-written delta
+        // rewritten, fed from the admitted rows
         SeenBloom.update(bloomTable,
-          spark.read.parquet(s"$d/requests_delta").select("uh48").as[java.lang.Long],
+          freshP.map(r => java.lang.Long.valueOf(r.uh48))
+            .union(revisedP.map(r => java.lang.Long.valueOf(r.uh48))),
           cfg.seenBuckets, cfg.expectedSeenPerBucket, cfg.bloomFpp)
           .write.mode("overwrite").parquet(s"$d/seen_bloom")
       }
-      val fCounts = fDelta.map { _ =>
+      val fCounts = Future {
         // A8 state roll-forward: prior counts + this delta's counts
         ipCounts
-          .unionByName(spark.read.parquet(s"$d/requests_delta")
+          .unionByName(freshP.toDF().unionByName(revisedP.toDF())
             .groupBy("first_ip").agg(count(lit(1)).as("n")))
           .groupBy("first_ip").agg(sum(col("n")).as("n"))
           .write.mode("overwrite").parquet(s"$d/ip_counts")
@@ -1510,6 +1515,8 @@ object Crawl {
       outlinkTotal - newUrls, 0, wall))
     // lineage/counters live in MANIFEST.json (no one-row parquet job)
     writeManifest(workdir, i, metrics)
+    freshP.unpersist()
+    revisedP.unpersist()
     resolved.unpersist()
     results.unpersist()
     IterationResult(scheduled, fetched, robotsDenied, errors, newUrls, outlinkTotal - newUrls)
