@@ -74,7 +74,7 @@ object Bench {
     * don't pollute the scaling comparison. Returns the MEDIAN rep (VM
     * noise is 2-4×; best-of-N cherry-picks and does not reproduce under
     * the driver — VERDICT r1 #8). */
-  private def scheduleKernel(cpus: Int, n: Long, urlsPerIp: Int, reps: Int = 3): (Double, Long, Double) = {
+  private[graft] def scheduleKernel(cpus: Int, n: Long, urlsPerIp: Int, reps: Int = 3): (Double, Long, Double) = {
     val spark = newSession(cpus)
     import spark.implicits._
     val cfg = Crawl.Config()
@@ -100,7 +100,7 @@ object Bench {
     * first_ip ...)` buffers and fully sorts the whole IP in one task,
     * while the bounded-heap WinnerTopK keeps O(k) state (VERDICT r2 #2).
     * Same input, same output rows; wall seconds for each shape. */
-  private def skewKernel(cpus: Int, n: Long, k: Int): (Double, Double) = {
+  private[graft] def skewKernel(cpus: Int, n: Long, k: Int): (Double, Double) = {
     val spark = newSession(cpus)
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._

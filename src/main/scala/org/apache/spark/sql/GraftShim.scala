@@ -7,4 +7,20 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShim {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** DataFrame from a logical plan (Dataset.ofRows is private[sql]) —
+    * used to inject graft's custom logical operators (plans.WinnerDole). */
+  def ofRows(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan behind a DataFrame. */
+  def logicalPlan(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  /** Idempotently add a planning strategy to the session
+    * (ExperimentalMethods lives on the classic session). */
+  def registerStrategy(spark: SparkSession, s: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val ex = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!ex.extraStrategies.contains(s)) ex.extraStrategies = ex.extraStrategies :+ s
+  }
 }
