@@ -75,6 +75,9 @@ object Crawl {
       siteList: Seq[String] = Nil,
       // matchesucp/matchesupp collection patterns (Spider.cpp:11714-11777)
       patterns: CrawlPatterns = CrawlPatterns(),
+      // X16 Url::isSpam gate — the reference's doUrlSpamCheck collection
+      // param, default "0"/off (Parms.cpp:17164)
+      doUrlSpamCheck: Boolean = false,
       // tagdb: cap on the distinct inlinking c-blocks tracked per SITE
       // (the Msg25 "good inlinks, 1 per c block" analogue; the reference
       // bounds work per site via Msg25's inlink limits — LinkInfo.cpp
@@ -258,10 +261,114 @@ object Crawl {
                iteration: Int,
                inlinks: Dataset[InlinkState] = null,
                quota: DataFrame = null): Dataset[FetchTask] = {
+    import requests.sparkSession.implicits._
+    val nowMillis = nowMs(cfg, iteration)
+    compiledScored(requests, replies, ipState, domState, cfg, iteration, inlinks, None) match {
+      case None => scheduleInterpreted(requests, replies, ipState, domState, cfg, iteration,
+        Option(inlinks).getOrElse(requests.sparkSession.emptyDataset[InlinkState]), quota)
+      case Some(scored) =>
+        val eligible = scored.filter(!col("force_delete") && col("spider_time_ms") <= nowMillis)
+        val batch = graft.plans.WinnerDole(
+          doleInput(eligible).drop("force_delete", "next_lb"),
+          kEff(cfg), cfg.maxWinnersPerIp).as[FetchTask]
+        if (cfg.enforceDoleCaps) applyDoleCaps(batch, cfg) else batch
+    }
+  }
+
+  /** Result of [[scheduleWake]]: `dole` holds the fetch batch rows
+    * (seq_in_ip >= 0) plus, when `wake` is true, one waiting-tree
+    * sentinel per scanned IP (seq_in_ip == -1, spider_time_ms = that
+    * IP's next-eligible lower bound). `dueIps` is the pre-scan due set
+    * (None on the bootstrap full scan or when pruning is off). */
+  final case class ScheduleOut(dole: DataFrame, wake: Boolean, dueIps: Option[DataFrame])
+
+  /** A3: the waiting-tree analogue (Spider.cpp:2503-2724 addToWaitingTree,
+    * :3160 populateDoledbFromWaitingTree, Spider.h:135-147). The reference
+    * never rescans all of spiderdb per dole cycle: it keeps one
+    * earliest-eligible time per firstIp and reads only the slices of IPs
+    * whose time has arrived. Here: `ipNext` (first_ip → next_ms lower
+    * bound) prunes the frontier scan to DUE IPs with a semi-join BEFORE
+    * scoring, and the dole operator emits a refreshed per-IP minimum for
+    * every IP it scanned (sentinel rows). The bound excludes the
+    * dom-crawl-delay term (which can change via a sibling host without
+    * touching this IP — dropping a max() term keeps it a LOWER bound, so
+    * pruning stays EXACT: a pruned IP provably has no eligible row).
+    *
+    * Pruning is gated off (full scan, sentinels still emitted so the
+    * table bootstraps) when the rule table leaves the compiled path, or
+    * uses clock-dependent tokens (spiderwaited/urlage: a row's ufn can
+    * then change with no state transition touching its IP), or when dole
+    * caps are on (they cut across IPs). */
+  def scheduleWake(requests: Dataset[FrontierRequest],
+                   replies: Dataset[FrontierReply],
+                   ipState: Dataset[IpState],
+                   domState: Dataset[DomState],
+                   cfg: Config,
+                   iteration: Int,
+                   inlinks: Dataset[InlinkState],
+                   quota: DataFrame,
+                   ipNext: Option[DataFrame]): ScheduleOut = {
+    import requests.sparkSession.implicits._
+    val nowMillis = nowMs(cfg, iteration)
+    if (cfg.enforceDoleCaps || !wakeSafeRules(cfg))
+      return ScheduleOut(
+        schedule(requests, replies, ipState, domState, cfg, iteration, inlinks, quota).toDF(),
+        wake = false, dueIps = None)
+    val dueIps = ipNext.map(_.filter(col("next_ms") <= nowMillis).select("first_ip"))
+    compiledScored(requests, replies, ipState, domState, cfg, iteration, inlinks, dueIps) match {
+      case None => // interpreter needed after all → no wake maintenance
+        ScheduleOut(
+          scheduleInterpreted(requests, replies, ipState, domState, cfg, iteration,
+            Option(inlinks).getOrElse(requests.sparkSession.emptyDataset[InlinkState]), quota).toDF(),
+          wake = false, dueIps = None)
+      case Some(scored) =>
+        val in = doleInput(scored)
+          .withColumn("eligible", !col("force_delete") && col("spider_time_ms") <= nowMillis)
+          // a force-deleted row never schedules, so it must not hold its
+          // IP awake either (it only leaves via compaction)
+          .withColumn("next_lb", when(col("force_delete"), Long.MaxValue).otherwise(col("next_lb")))
+          .drop("force_delete")
+        ScheduleOut(graft.plans.WinnerDole.wake(in, kEff(cfg), cfg.maxWinnersPerIp), wake = true, dueIps)
+    }
+  }
+
+  /** Heap truncation: ip_max is element_at(<static rule table>, ufn)
+    * (RuleCompiler:186), so no row survives the dole cap at
+    * pos >= max(ipMaxSpiders over the table). Keeping more than that in
+    * the heap only to throw it away cost the r3 kernel ~5x state volume
+    * (default table: max ipms = 7, not MAX_WINNER_NODES=2000). */
+  private def kEff(cfg: Config): Int = math.min(cfg.maxWinnersPerIp,
+    math.max(1, cfg.rules.map(_.ipMaxSpiders).max))
+
+  /** Due-IP pruning is only exact when a row's (ufn, spider time) cannot
+    * change without a state transition that touches its IP. The compiled
+    * token set guarantees that except for the clock-relative tokens. */
+  def wakeSafeRules(cfg: Config): Boolean =
+    !cfg.rules.exists(r => r.expr.contains("spiderwaited") || r.expr.contains("urlage"))
+
+  /** The 12 dole-input columns (+ next_lb in the wake path). */
+  private def doleInput(scored: DataFrame): DataFrame = scored
+    .withColumn("was_indexed_in", col("rep_exists") && col("rep_err_code") === 0)
+    .select(col("first_ip"), col("uh48"), col("url"), col("priority"),
+      col("ufn"), col("spider_time_ms"), col("hop_count"), col("ip_max"),
+      col("was_indexed_in"), col("flags"), col("site_hash32"), col("dom_hash32"),
+      col("force_delete"), col("next_lb"))
+
+  /** Compiled scoring pipeline up to the PRE-eligibility-filter `scored`
+    * DataFrame (None → rule table needs the interpreter). With `dueIps`,
+    * the frontier scan is semi-joined on the due set BEFORE the exchange
+    * (A3 waiting-tree pruning). */
+  private def compiledScored(requests: Dataset[FrontierRequest],
+                             replies: Dataset[FrontierReply],
+                             ipState: Dataset[IpState],
+                             domState: Dataset[DomState],
+                             cfg: Config,
+                             iteration: Int,
+                             inlinks: Dataset[InlinkState],
+                             dueIps: Option[DataFrame]): Option[DataFrame] = {
     val spark = requests.sparkSession
     import spark.implicits._
     val now = nowSecs(cfg, iteration)
-    val nowMillis = nowMs(cfg, iteration)
     val inl = Option(inlinks).getOrElse(spark.emptyDataset[InlinkState])
     val sl = new SiteList(cfg.siteList)
 
@@ -274,93 +381,84 @@ object Crawl {
       repErrCode = col("rep_err_code"), repErrCount = col("rep_err_count"),
       repHttpStatus = col("rep_http_status"), now = lit(now))
 
-    RuleCompiler.compile(cfg.rules, c, siteListEmpty = sl.isEmpty, patterns = cfg.patterns) match {
-      case None => scheduleInterpreted(requests, replies, ipState, domState, cfg, iteration, inl, quota)
-      case Some(compiled) =>
-        // merge duplicate requests per uh48 with native aggregates
-        // (Spider.cpp:4799-4836: min hop, min discovery, freshest rest)
-        // spiderdb is keyed (firstIp, uh48) — Spider.h:370-377 — and this
-        // engine maintains UNIQUENESS on that key at write time: fresh
-        // candidates are deduped per uh48 within a batch (J4) and
-        // anti-joined against every prior uh48 (J2), and compaction (J3)
-        // re-establishes the invariant after any out-of-band append. So
-        // the reference's scan-time duplicate merge (Spider.cpp:4799-4836,
-        // done lazily there because its writes are blind LSM appends) is
-        // a no-op here and the hot path skips it — one exchange total:
-        // repartition by first_ip satisfies the reply join and the winner
-        // window. scheduleInterpreted keeps the merge for generality.
-        // inlink_state is keyed (first_ip, uh48) — co-partitioned with
-        // the frontier, so only the small inlink side shuffles here.
-        val inlCounts = inl.toDF()
-          .select(col("first_ip"), col("uh48"),
-            least(size(col("cblocks")), lit(20)).as("pni"))
-        val merged = requestsFiltered(requests.toDF(), now, cfg) // F7
-          .repartition(col("first_ip"))
-          .join(inlCounts, Seq("first_ip", "uh48"), "left_outer")
-          .withColumn("page_num_inlinks", coalesce(col("pni"), lit(0)))
+    RuleCompiler.compile(cfg.rules, c, siteListEmpty = sl.isEmpty, patterns = cfg.patterns).map { compiled =>
+      // merge duplicate requests per uh48 with native aggregates
+      // (Spider.cpp:4799-4836: min hop, min discovery, freshest rest)
+      // spiderdb is keyed (firstIp, uh48) — Spider.h:370-377 — and this
+      // engine maintains UNIQUENESS on that key at write time: fresh
+      // candidates are deduped per uh48 within a batch (J4) and
+      // anti-joined against every prior uh48 (J2), and compaction (J3)
+      // re-establishes the invariant after any out-of-band append. So
+      // the reference's scan-time duplicate merge (Spider.cpp:4799-4836,
+      // done lazily there because its writes are blind LSM appends) is
+      // a no-op here and the hot path skips it — one exchange total:
+      // repartition by first_ip satisfies the reply join and the winner
+      // dole. scheduleInterpreted keeps the merge for generality.
+      // inlink_state is keyed (first_ip, uh48) — co-partitioned with
+      // the frontier, so only the small inlink side shuffles here.
+      val inlCounts = inl.toDF()
+        .select(col("first_ip"), col("uh48"),
+          least(size(col("cblocks")), lit(20)).as("pni"))
+      val base = requestsFiltered(requests.toDF(), now, cfg) // F7
+      // A3 due-IP pruning: ONLY the due slices of the frontier are
+      // scanned/scored — the semi-join sits below the exchange so
+      // non-due rows never shuffle
+      val pruned = dueIps match {
+        case Some(due) => base.join(due, Seq("first_ip"), "left_semi")
+        case None => base
+      }
+      val merged = pruned
+        .repartition(col("first_ip"))
+        .join(inlCounts, Seq("first_ip", "uh48"), "left_outer")
+        .withColumn("page_num_inlinks", coalesce(col("pni"), lit(0)))
 
-        // latest reply per uh48: lexicographic struct max on
-        // (spidered_time, download_end_time) — no object shuffle
-        val latestRep = repliesFiltered(replies.toDF(), now, cfg) // F7
-          .groupBy("first_ip", "uh48").agg(
-          max(struct(col("spidered_time"), col("download_end_time"),
-            col("err_code"), col("err_count"), col("http_status"))).as("r"))
-          .select(col("first_ip").as("rep_ip"), col("uh48").as("rep_uh48"),
-            col("r.spidered_time").as("rep_spidered_time"),
-            col("r.err_code").as("rep_err_code"),
-            col("r.err_count").as("rep_err_count"),
-            col("r.http_status").as("rep_http_status"))
+      // latest reply per uh48: lexicographic struct max on
+      // (spidered_time, download_end_time) — no object shuffle
+      val latestRep = repliesFiltered(replies.toDF(), now, cfg) // F7
+        .groupBy("first_ip", "uh48").agg(
+        max(struct(col("spidered_time"), col("download_end_time"),
+          col("err_code"), col("err_count"), col("http_status"))).as("r"))
+        .select(col("first_ip").as("rep_ip"), col("uh48").as("rep_uh48"),
+          col("r.spidered_time").as("rep_spidered_time"),
+          col("r.err_code").as("rep_err_code"),
+          col("r.err_count").as("rep_err_count"),
+          col("r.http_status").as("rep_http_status"))
 
-        val joined = merged
-          .join(latestRep, col("uh48") === col("rep_uh48") && col("first_ip") === col("rep_ip"), "left_outer")
-          .withColumn("rep_exists", col("rep_uh48").isNotNull)
-          .withColumn("rep_spidered_time", coalesce(col("rep_spidered_time"), lit(0L)))
-          .withColumn("rep_err_code", coalesce(col("rep_err_code"), lit(0)))
-          .withColumn("rep_err_count", coalesce(col("rep_err_count"), lit(0)))
-          .withColumn("rep_http_status", coalesce(col("rep_http_status"), lit(0)))
-          .withColumn("flags",
-            when(col("rep_exists"), col("flags").bitwiseOR(lit(Flags.HadReply))).otherwise(col("flags")))
-          .join(ipState.toDF().withColumnRenamed("first_ip", "ip_key"),
-            col("first_ip") === col("ip_key"), "left_outer")
-          .join(domState.toDF().withColumnRenamed("dom_hash32", "dom_key"),
-            col("dom_hash32") === col("dom_key"), "left_outer")
+      val joined = merged
+        .join(latestRep, col("uh48") === col("rep_uh48") && col("first_ip") === col("rep_ip"), "left_outer")
+        .withColumn("rep_exists", col("rep_uh48").isNotNull)
+        .withColumn("rep_spidered_time", coalesce(col("rep_spidered_time"), lit(0L)))
+        .withColumn("rep_err_code", coalesce(col("rep_err_code"), lit(0)))
+        .withColumn("rep_err_count", coalesce(col("rep_err_count"), lit(0)))
+        .withColumn("rep_http_status", coalesce(col("rep_http_status"), lit(0)))
+        .withColumn("flags",
+          when(col("rep_exists"), col("flags").bitwiseOR(lit(Flags.HadReply))).otherwise(col("flags")))
+        .join(ipState.toDF().withColumnRenamed("first_ip", "ip_key"),
+          col("first_ip") === col("ip_key"), "left_outer")
+        .join(domState.toDF().withColumnRenamed("dom_hash32", "dom_key"),
+          col("dom_hash32") === col("dom_key"), "left_outer")
 
-        val lastMs = coalesce(col("last_download_end_ms"), lit(-1L))
-        val domCd = coalesce(col("crawl_delay_ms"), lit(-1))
-        val spiderTime = RuleCompiler.spiderTimeCol(c, compiled, lastMs, domCd)
+      val lastMs = coalesce(col("last_download_end_ms"), lit(-1L))
+      val domCd = coalesce(col("crawl_delay_ms"), lit(-1))
+      val spiderTime = RuleCompiler.spiderTimeCol(c, compiled, lastMs, domCd)
+      // the waiting-tree lower bound: same formula MINUS the dom-crawl-
+      // delay max() term (see scheduleWake scaladoc)
+      val nextLb = RuleCompiler.spiderTimeCol(c, compiled, lastMs, lit(-1))
 
-        val scored = joined
-          .withColumn("ufn", compiled.ufn)
-          .withColumn("priority", compiled.priority)
-          .withColumn("force_delete", compiled.forceDelete)
-          .withColumn("ip_max", compiled.ipMaxSpiders)
-          .withColumn("spider_time_ms", spiderTime)
-          .filter(!col("force_delete") && col("spider_time_ms") <= nowMillis)
-
-        // A2: winner selection with the BOUNDED-heap custom operator
-        // (plans.WinnerDole — the winner-tree analogue, MAX_WINNER_NODES)
-        // — O(k) state per IP instead of the window's per-IP full sort,
-        // which buffers an entire skewed IP in one task at 100 TB; and
-        // a single streamed pass instead of groupBy(WinnerTopK)'s
-        // partial+final aggregate, whose per-heap serialize/deserialize
-        // was the r3 schedule kernel's top cost. seq_in_ip = winner rank;
-        // the per-rule ipMaxSpiders cap applies per ROW as before.
-        //
-        // Heap truncation: ip_max is element_at(<static rule table>, ufn)
-        // (RuleCompiler:186), so no row can survive the dole cap at
-        // pos >= max(ipMaxSpiders over the table). Keeping more than
-        // that in the heap only to throw it away cost the r3 kernel ~5x
-        // state volume (default table: max ipms = 7, not 2000).
-        val kEff = math.min(cfg.maxWinnersPerIp,
-          math.max(1, cfg.rules.map(_.ipMaxSpiders).max))
-        val scoredIn = scored
-          .withColumn("was_indexed_in", col("rep_exists") && col("rep_err_code") === 0)
-          .select(col("first_ip"), col("uh48"), col("url"), col("priority"),
-            col("ufn"), col("spider_time_ms"), col("hop_count"), col("ip_max"),
-            col("was_indexed_in"), col("flags"), col("site_hash32"), col("dom_hash32"))
-        val batch = graft.plans.WinnerDole(scoredIn, kEff, cfg.maxWinnersPerIp)
-          .as[FetchTask]
-        if (cfg.enforceDoleCaps) applyDoleCaps(batch, cfg) else batch
+      // A2: winner selection runs downstream as the BOUNDED-heap custom
+      // operator (plans.WinnerDole — the winner-tree analogue,
+      // MAX_WINNER_NODES): O(k) state per IP instead of the window's
+      // per-IP full sort, which buffers an entire skewed IP in one task
+      // at 100 TB; and a single streamed pass instead of
+      // groupBy(WinnerTopK)'s partial+final aggregate, whose per-heap
+      // serialize/deserialize was the r3 schedule kernel's top cost.
+      joined
+        .withColumn("ufn", compiled.ufn)
+        .withColumn("priority", compiled.priority)
+        .withColumn("force_delete", compiled.forceDelete)
+        .withColumn("ip_max", compiled.ipMaxSpiders)
+        .withColumn("spider_time_ms", spiderTime)
+        .withColumn("next_lb", nextLb)
     }
   }
 
@@ -690,6 +788,12 @@ object Crawl {
         } else if (u.isLinkLoop) {
           // "url is repeating path components" (XmlDoc.cpp:4300-4306)
           FetchResult(task, found = false, allowed = true, cd, 0, Errs.ELINKLOOP,
+            "", 0, downloadEnd, Nil, "")
+        } else if (cfg.doUrlSpamCheck && graft.core.GbAdult.isSpam(u)) {
+          // X16 isSpam, behind the reference's default-OFF param
+          // (XmlDoc.cpp:4316-4323; ladder position: after the 4300
+          // link-loop check, before 4389 robots / 4507 extension)
+          FetchResult(task, found = false, allowed = true, cd, 0, Errs.EDOCURLSPAM,
             "", 0, downloadEnd, Nil, "")
         } else if (u.isBadExtension()) {
           // bad extension with no vouching link text (XmlDoc.cpp:4507-4513;
@@ -1201,13 +1305,33 @@ object Crawl {
       .agg(max(struct(col("spidered_time"), col("sample_vec"))).as("s"))
       .select(col("uh48"), col("s.sample_vec").as("sample_vec"))
 
+  /** Bucket count for the keyed state tables (StateTable LSM chains).
+    * Fixed per workdir — changing it needs a compaction (full rewrite).
+    * Sized so a bucket is one comfortable task; a cluster deployment
+    * raises it with the state volume. */
+  val StateBuckets = 64
+
   /** Inlink c-block state as of snapshot i (empty for pre-inlink
-    * snapshots so resume keeps working). */
+    * snapshots so resume keeps working). O(delta) maintained: only the
+    * buckets an iteration touches are written forward (StateTable). */
   def loadInlinkState(spark: SparkSession, workdir: String, i: Int): Dataset[InlinkState] = {
     import spark.implicits._
-    val path = s"${snapDir(workdir, i)}/inlink_state"
-    if (new java.io.File(path).exists) spark.read.parquet(path).as[InlinkState]
-    else spark.emptyDataset[InlinkState]
+    StateTable.load(spark, workdir, i, "inlink_state", df => Seq(df("uh48")),
+      StateBuckets, spark.emptyDataset[InlinkState].toDF).as[InlinkState]
+  }
+
+  /** Politeness state (per-IP last download end) as of snapshot i. */
+  def loadIpState(spark: SparkSession, workdir: String, i: Int): Dataset[IpState] = {
+    import spark.implicits._
+    StateTable.load(spark, workdir, i, "ip_state", df => Seq(df("first_ip")),
+      StateBuckets, spark.emptyDataset[IpState].toDF).as[IpState]
+  }
+
+  /** Per-domain robots crawl-delay state as of snapshot i. */
+  def loadDomState(spark: SparkSession, workdir: String, i: Int): Dataset[DomState] = {
+    import spark.implicits._
+    StateTable.load(spark, workdir, i, "dom_state", df => Seq(df("dom_hash32")),
+      StateBuckets, spark.emptyDataset[DomState].toDF).as[DomState]
   }
 
   /** A6 quota state (the reference's scan-built m_localTable,
@@ -1219,9 +1343,8 @@ object Crawl {
     * spiderdb re-scan. */
   def loadQuotaState(spark: SparkSession, workdir: String, i: Int): DataFrame = {
     import spark.implicits._
-    val path = s"${snapDir(workdir, i)}/quota_state"
-    if (new java.io.File(path).exists) spark.read.parquet(path)
-    else spark.emptyDataset[(Int, Long)].toDF("key", "n")
+    StateTable.load(spark, workdir, i, "quota_state", df => Seq(df("key")),
+      StateBuckets, spark.emptyDataset[(Int, Long)].toDF("key", "n"))
   }
 
   /** Minimal tagdb (see [[TagState]]): keyed by the SiteGetter site
@@ -1229,9 +1352,8 @@ object Crawl {
     * site-level inlinking c-blocks. Cumulative like ip/dom state. */
   def loadTagState(spark: SparkSession, workdir: String, i: Int): Dataset[TagState] = {
     import spark.implicits._
-    val path = s"${snapDir(workdir, i)}/tag_state"
-    if (new java.io.File(path).exists) spark.read.parquet(path).as[TagState]
-    else spark.emptyDataset[TagState]
+    StateTable.load(spark, workdir, i, "tag_state", df => Seq(df("site_hash32")),
+      StateBuckets, spark.emptyDataset[TagState].toDF).as[TagState]
   }
 
   /** A8 state: exact per-IP request counts as of snapshot i, maintained
@@ -1245,6 +1367,33 @@ object Crawl {
     else loadRequests(spark, workdir, i).groupBy("first_ip")
       .agg(count(lit(1)).as("n"))
   }
+
+  /** A fingerprint of everything the waiting-tree lower bounds depend
+    * on: if the rule table / site list / patterns change between runs,
+    * stored ip_next entries may no longer be lower bounds → discard. */
+  def rulesFingerprint(cfg: Config): String = {
+    val s = cfg.rules.mkString("|") + "#" + cfg.siteList + "#" + cfg.patterns.toString
+    java.lang.Long.toHexString(graft.core.GbHash.hash64b(s))
+  }
+
+  /** A3 waiting-tree state as of snapshot i: first_ip → next_ms (a lower
+    * bound on the IP's earliest eligible spider time, valid until the IP
+    * is touched). None when absent (pre-A3 snapshots, resume) or written
+    * under a different rule config — the next iteration then runs a full
+    * bootstrap scan and rebuilds it. */
+  def loadIpNext(spark: SparkSession, workdir: String, i: Int, cfg: Config): Option[DataFrame] = {
+    val dir = s"${snapDir(workdir, i)}/ip_next"
+    val marker = new java.io.File(s"${snapDir(workdir, i)}/ip_next.rules")
+    if (new java.io.File(dir).exists && marker.exists &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim == rulesFingerprint(cfg))
+      Some(spark.read.parquet(dir))
+    else None
+  }
+
+  private def writeIpNextMarker(workdir: String, i: Int, cfg: Config): Unit =
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"${snapDir(workdir, i)}/ip_next.rules"),
+      rulesFingerprint(cfg).getBytes("UTF-8"))
 
   def writeManifest(workdir: String, i: Int, metrics: Seq[MetricsRow]): Unit = {
     val d = snapDir(workdir, i)
@@ -1277,8 +1426,8 @@ object Crawl {
     val prev = snapDir(workdir, i - 1)
     val requests = loadRequests(spark, workdir, i - 1)
     val replies = loadReplies(spark, workdir, i - 1)
-    val ipState = spark.read.parquet(s"$prev/ip_state").as[IpState]
-    val domState = spark.read.parquet(s"$prev/dom_state").as[DomState]
+    val ipState = loadIpState(spark, workdir, i - 1)
+    val domState = loadDomState(spark, workdir, i - 1)
     val inlinks = loadInlinkState(spark, workdir, i - 1)
     val tagState = loadTagState(spark, workdir, i - 1)
     val quotaState = loadQuotaState(spark, workdir, i - 1)
@@ -1294,7 +1443,14 @@ object Crawl {
     val overflowIps = ipCounts
       .filter(col("n") > cfg.overflowCap).select("first_ip")
 
-    val batch = schedule(requests, replies, ipState, domState, cfg, i, inlinks, quotaState)
+    // A3: due-IP pruned schedule with waiting-tree sentinels. The dole
+    // output (winners + one sentinel per scanned IP) is SMALL — persist
+    // it so the batch consumer (fetch) and the ip_next roll-forward
+    // don't recompute the frontier scan.
+    val ipNextPrev = loadIpNext(spark, workdir, i - 1, cfg)
+    val so = scheduleWake(requests, replies, ipState, domState, cfg, i, inlinks, quotaState, ipNextPrev)
+    val doleOut = so.dole.persist(StorageLevel.MEMORY_AND_DISK)
+    val batch = doleOut.filter(col("seq_in_ip") >= 0).as[FetchTask]
     // old-doc sample vectors for percentChanged — slim titledb projection
     val oldVecs = loadTitleVecs(spark, workdir, i - 1)
     val results = fetch(batch, pages, robots, cfg, i, redirClosure, oldVecs)
@@ -1353,24 +1509,18 @@ object Crawl {
     val revised = resolveRevised(
       results.filter(_.errCode == Errs.EFAKEFIRSTIP), requests, hostMeta, tagState)
 
-    // politeness state update: last download end per IP; crawl delay per dom
+    // politeness state update: last download end per IP; crawl delay per
+    // dom. State maintenance is O(delta): each table's update joins the
+    // PRIOR ROWS OF THE TOUCHED BUCKETS ONLY (StateTable path-pruned
+    // load) with this iteration's delta under the same merge semantics
+    // as before — untouched buckets are never read, shuffled, or
+    // rewritten (the SeenBloom touched-buckets pattern generalized;
+    // VERDICT r3 "What's wrong" #2).
     val ipUpdates = results.groupByKey(_.task.first_ip)
       .mapGroups((ip, it) => IpState(ip, it.map(_.downloadEndMs).max))
-    val mergedIp = ipState.union(ipUpdates)
-      .groupByKey(_.first_ip).reduceGroups((a, b) => if (a.last_download_end_ms >= b.last_download_end_ms) a else b)
-      .map(_._2)
     val domUpdates = results
       .filter(_.crawlDelayMs >= 0)
       .map(r => DomState(GbUrl.parse(r.task.url).domHash32, r.crawlDelayMs))
-    // deterministic merge: this iteration's observation wins over prior
-    // state, ties broken by max delay (reduceGroups((a,b) => b) picked an
-    // arbitrary element across partitions/retries)
-    val mergedDom = domState.toDF().withColumn("stamp", lit(0))
-      .unionByName(domUpdates.toDF().withColumn("stamp", lit(1)))
-      .groupBy("dom_hash32")
-      .agg(max(struct(col("stamp"), col("crawl_delay_ms"))).as("s"))
-      .select(col("dom_hash32"), col("s.crawl_delay_ms").as("crawl_delay_ms"))
-      .as[DomState]
 
     // A7: inlink c-block accumulation — every outlink DISCOVERY counts
     // (pre-admission, like the reference's spiderdb request rows), except
@@ -1381,12 +1531,7 @@ object Crawl {
       .toDF("first_ip", "uh48", "cblock")
       .join(overflowIps.withColumnRenamed("first_ip", "of_ip"),
         col("first_ip") === col("of_ip"), "left_anti")
-    val mergedInl = inlinks.toDF()
-      .select(col("first_ip"), col("uh48"), explode(col("cblocks")).as("cblock"))
-      .unionByName(newPairs)
-      .groupBy("first_ip", "uh48")
-      .agg(slice(sort_array(collect_set(col("cblock"))), 1, 20).as("cblocks"))
-      .as[InlinkState]
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // tagdb maintenance, three delta streams merged into tag_state:
     //  (a) updateTagdb at index time (XmlDoc.cpp updateTagdb): the doc's
@@ -1414,10 +1559,7 @@ object Crawl {
     val linkTags = resolved.map(r =>
       TagState(r.link_site_hash32, r.link_site, 0, has_site_tag = false, Array(r.parent_cblock), i))
     val cap = cfg.siteInlinkCap
-    val mergedTag = tagState.union(docTags).union(pinTags).union(linkTags)
-      .groupByKey(_.site_hash32)
-      .reduceGroups((a, b) => combineTags(a, b, cap))
-      .map(_._2)
+    val tagDelta = docTags.union(pinTags).union(linkTags)
 
     // A6 quota-state roll-forward (m_localTable, Spider.cpp:4355-4421):
     //  - one vote per NEWLY indexed url → firstIp, siteHash32, domHash32
@@ -1438,10 +1580,8 @@ object Crawl {
       .select(explode(array(
         col("site_hash32").bitwiseXOR(lit(0x123456)),
         col("dom_hash32").bitwiseXOR(lit(0x123456)))).as("key"))
-    val mergedQuota = quotaState
-      .unionByName(indexedKeys.unionByName(manualKeys)
-        .groupBy("key").agg(count(lit(1)).as("n")))
-      .groupBy("key").agg(sum(col("n")).as("n"))
+    val quotaDelta = indexedKeys.unionByName(manualKeys)
+      .groupBy("key").agg(count(lit(1)).as("n"))
 
     // STAGE 2: everything else is ONE flat concurrent write batch
     // (results is already materialized in cache by the fetch_log job, so
@@ -1487,14 +1627,94 @@ object Crawl {
           .groupBy("first_ip").agg(sum(col("n")).as("n"))
           .write.mode("overwrite").parquet(s"$d/ip_counts")
       }
-      val writes = Seq(
+      val fIpNext = if (!so.wake) Seq.empty else Seq(Future {
+        // A3 waiting-tree roll-forward, priority-layered upsert:
+        //   prior entries (0) < due-but-now-empty IPs (1, sleep forever
+        //   until touched — their rows were compacted away or F7/force-
+        //   delete-only) < freshly scanned minima (2) < TOUCHED IPs (3,
+        //   due next iteration: new/revised requests, replies+ip_state
+        //   from this batch, inlink-count changes — every channel that
+        //   can move a row's spider time or ufn).
+        def tag(df: DataFrame, p: Int) =
+          df.select(col("first_ip"), col("next_ms"), lit(p).as("pri"))
+        val prior = ipNextPrev.getOrElse(
+          spark.emptyDataset[(Int, Long)].toDF("first_ip", "next_ms"))
+        val dueDefault = so.dueIps.map(_.withColumn("next_ms", lit(Long.MaxValue)))
+          .getOrElse(spark.emptyDataset[(Int, Long)].toDF("first_ip", "next_ms"))
+        val wakeRows = doleOut.filter(col("seq_in_ip") === -1)
+          .select(col("first_ip"), col("spider_time_ms").as("next_ms"))
+        val touched = results.map(_.task.first_ip).toDF("first_ip")
+          .unionByName(freshP.select("first_ip"))
+          .unionByName(revisedP.select("first_ip"))
+          .unionByName(newPairs.select("first_ip"))
+          .distinct().withColumn("next_ms", lit(0L))
+        tag(prior, 0).unionByName(tag(dueDefault, 1))
+          .unionByName(tag(wakeRows, 2)).unionByName(tag(touched, 3))
+          .groupBy("first_ip")
+          .agg(max(struct(col("pri"), col("next_ms"))).as("s"))
+          .select(col("first_ip"), col("s.next_ms").as("next_ms"))
+          .write.mode("overwrite").parquet(s"$d/ip_next")
+        writeIpNextMarker(workdir, i, cfg)
+      })
+      val writes = fIpNext ++ Seq(
         fBloom, fCounts,
         Future { repliesOf(results, replies, cfg, i).write.mode("overwrite").parquet(s"$d/replies_delta") },
-        Future { mergedIp.write.mode("overwrite").parquet(s"$d/ip_state") },
-        Future { mergedDom.write.mode("overwrite").parquet(s"$d/dom_state") },
-        Future { mergedInl.write.mode("overwrite").parquet(s"$d/inlink_state") },
-        Future { mergedTag.write.mode("overwrite").parquet(s"$d/tag_state") },
-        Future { mergedQuota.write.mode("overwrite").parquet(s"$d/quota_state") },
+        Future { // O(delta) ip_state: prior rows of touched buckets only
+          val keys = (df: DataFrame) => Seq(df("first_ip"))
+          val touched = StateTable.touchedBuckets(ipUpdates.toDF(), keys, StateBuckets)
+          val prior = StateTable.loadBuckets(spark, workdir, i - 1, "ip_state", keys,
+            StateBuckets, spark.emptyDataset[IpState].toDF(), Some(touched)).as[IpState]
+          val merged = prior.union(ipUpdates)
+            .groupByKey(_.first_ip)
+            .reduceGroups((a, b) => if (a.last_download_end_ms >= b.last_download_end_ms) a else b)
+            .map(_._2)
+          StateTable.writeDelta(merged.toDF(), Seq(col("first_ip")), StateBuckets, s"$d/ip_state")
+        },
+        Future { // O(delta) dom_state; this iteration's observation wins
+          val keys = (df: DataFrame) => Seq(df("dom_hash32"))
+          val touched = StateTable.touchedBuckets(domUpdates.toDF(), keys, StateBuckets)
+          val prior = StateTable.loadBuckets(spark, workdir, i - 1, "dom_state", keys,
+            StateBuckets, spark.emptyDataset[DomState].toDF(), Some(touched))
+          val merged = prior.withColumn("stamp", lit(0))
+            .unionByName(domUpdates.toDF().withColumn("stamp", lit(1)))
+            .groupBy("dom_hash32")
+            .agg(max(struct(col("stamp"), col("crawl_delay_ms"))).as("s"))
+            .select(col("dom_hash32"), col("s.crawl_delay_ms").as("crawl_delay_ms"))
+          StateTable.writeDelta(merged, Seq(col("dom_hash32")), StateBuckets, s"$d/dom_state")
+        },
+        Future { // O(delta) inlink_state (A7): the explode+re-agg runs
+          // over touched buckets only — the r3 full-table explode is gone
+          val keys = (df: DataFrame) => Seq(df("uh48"))
+          val touched = StateTable.touchedBuckets(newPairs, keys, StateBuckets)
+          val prior = StateTable.loadBuckets(spark, workdir, i - 1, "inlink_state", keys,
+            StateBuckets, spark.emptyDataset[InlinkState].toDF(), Some(touched))
+          val merged = prior
+            .select(col("first_ip"), col("uh48"), explode(col("cblocks")).as("cblock"))
+            .unionByName(newPairs)
+            .groupBy("first_ip", "uh48")
+            .agg(slice(sort_array(collect_set(col("cblock"))), 1, 20).as("cblocks"))
+          StateTable.writeDelta(merged, Seq(col("uh48")), StateBuckets, s"$d/inlink_state")
+        },
+        Future { // O(delta) tag_state
+          val keys = (df: DataFrame) => Seq(df("site_hash32"))
+          val touched = StateTable.touchedBuckets(tagDelta.toDF(), keys, StateBuckets)
+          val prior = StateTable.loadBuckets(spark, workdir, i - 1, "tag_state", keys,
+            StateBuckets, spark.emptyDataset[TagState].toDF(), Some(touched)).as[TagState]
+          val merged = prior.union(tagDelta)
+            .groupByKey(_.site_hash32)
+            .reduceGroups((a, b) => combineTags(a, b, cap))
+            .map(_._2)
+          StateTable.writeDelta(merged.toDF(), Seq(col("site_hash32")), StateBuckets, s"$d/tag_state")
+        },
+        Future { // O(delta) quota_state (A6)
+          val keys = (df: DataFrame) => Seq(df("key"))
+          val touched = StateTable.touchedBuckets(quotaDelta, keys, StateBuckets)
+          val prior = StateTable.loadBuckets(spark, workdir, i - 1, "quota_state", keys,
+            StateBuckets, spark.emptyDataset[(Int, Long)].toDF("key", "n"), Some(touched))
+          val merged = prior.unionByName(quotaDelta)
+            .groupBy("key").agg(sum(col("n")).as("n"))
+          StateTable.writeDelta(merged, Seq(col("key")), StateBuckets, s"$d/quota_state")
+        },
         Future {
           // S7: titledb sink — the crawled-content snapshot (Titledb.cpp
           // titleRec analogue): raw bytes + extracted text per fetched
@@ -1519,6 +1739,8 @@ object Crawl {
     revisedP.unpersist()
     resolved.unpersist()
     results.unpersist()
+    doleOut.unpersist()
+    newPairs.unpersist()
     IterationResult(scheduled, fetched, robotsDenied, errors, newUrls, outlinkTotal - newUrls)
   }
 
@@ -1582,7 +1804,21 @@ object Crawl {
       }
       val fRep = Future { dedupedRep.write.mode("overwrite").parquet(s"$d/replies_full_tmp") }
       val fTitle = Future { loadTitledb(spark, workdir, i).write.mode("overwrite").parquet(s"$d/titledb_full_tmp") }
-      Await.result(Future.sequence(Seq(fReq, fRep, fTitle)), Duration.Inf)
+      // state-table chain resets (the RdbMerge analogue for the keyed
+      // state LSM chains): one bucketed FULL write per table, so loads
+      // stop walking the delta chain here
+      val fStates = Seq(
+        ("ip_state", "first_ip"), ("dom_state", "dom_hash32"),
+        ("tag_state", "site_hash32"), ("quota_state", "key"),
+        ("inlink_state", "uh48")).map { case (name, key) =>
+        Future {
+          val cur = StateTable.load(spark, workdir, i, name, df => Seq(df(key)),
+            StateBuckets, null) // null only if the chain is empty (pre-state workdir)
+          if (cur != null)
+            StateTable.writeFull(cur, Seq(col(key)), StateBuckets, s"$d/${name}_full_tmp")
+        }
+      }
+      Await.result(Future.sequence(Seq(fReq, fRep, fTitle) ++ fStates), Duration.Inf)
     }
     // swap in: the full table replaces this snapshot's delta. The full
     // targets are deleted too — hadoop rename(src, existing-dir) would
@@ -1602,6 +1838,13 @@ object Crawl {
     fs.rename(new org.apache.hadoop.fs.Path(s"$d/titledb_full_tmp"), new org.apache.hadoop.fs.Path(s"$d/titledb"))
     fs.rename(new org.apache.hadoop.fs.Path(s"$d/seen_bloom_full_tmp"), new org.apache.hadoop.fs.Path(s"$d/seen_bloom"))
     fs.rename(new org.apache.hadoop.fs.Path(s"$d/ip_counts_full_tmp"), new org.apache.hadoop.fs.Path(s"$d/ip_counts"))
+    Seq("ip_state", "dom_state", "tag_state", "quota_state", "inlink_state").foreach { name =>
+      val tmp = new org.apache.hadoop.fs.Path(s"$d/${name}_full_tmp")
+      if (fs.exists(tmp)) {
+        fs.delete(new org.apache.hadoop.fs.Path(s"$d/$name"), true)
+        fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$d/$name"))
+      }
+    }
   }
 
   /** Bootstrap snapshot 0 from seeds (full tables). */
@@ -1615,12 +1858,19 @@ object Crawl {
     spark.read.parquet(s"$d/requests").groupBy("first_ip")
       .agg(count(lit(1)).as("n")).write.mode("overwrite").parquet(s"$d/ip_counts")
     spark.emptyDataset[FrontierReply].write.mode("overwrite").parquet(s"$d/replies")
-    spark.emptyDataset[IpState].write.mode("overwrite").parquet(s"$d/ip_state")
-    spark.emptyDataset[DomState].write.mode("overwrite").parquet(s"$d/dom_state")
-    spark.emptyDataset[TagState].write.mode("overwrite").parquet(s"$d/tag_state")
-    spark.emptyDataset[(Int, Long)].toDF("key", "n").write.mode("overwrite").parquet(s"$d/quota_state")
-    spark.emptyDataset[InlinkState].write.mode("overwrite").parquet(s"$d/inlink_state")
+    // keyed state tables: bucketed full writes (chain terminators for
+    // the StateTable LSM loads; empty → marker-only dirs)
+    StateTable.writeFull(spark.emptyDataset[IpState].toDF(), Seq(col("first_ip")), StateBuckets, s"$d/ip_state")
+    StateTable.writeFull(spark.emptyDataset[DomState].toDF(), Seq(col("dom_hash32")), StateBuckets, s"$d/dom_state")
+    StateTable.writeFull(spark.emptyDataset[TagState].toDF(), Seq(col("site_hash32")), StateBuckets, s"$d/tag_state")
+    StateTable.writeFull(spark.emptyDataset[(Int, Long)].toDF("key", "n"), Seq(col("key")), StateBuckets, s"$d/quota_state")
+    StateTable.writeFull(spark.emptyDataset[InlinkState].toDF(), Seq(col("uh48")), StateBuckets, s"$d/inlink_state")
     spark.emptyDataset[TitleRow].write.mode("overwrite").parquet(s"$d/titledb")
+    // A3: all seed IPs are immediately due
+    spark.read.parquet(s"$d/requests").select("first_ip").distinct()
+      .withColumn("next_ms", lit(0L))
+      .write.mode("overwrite").parquet(s"$d/ip_next")
+    writeIpNextMarker(workdir, 0, cfg)
     Seq.empty[(Int, Int, Int, String, Int, Int)].toDF("iteration", "first_ip", "seq", "url", "priority", "err_code")
       .write.mode("overwrite").parquet(s"$d/fetch_log")
     writeManifest(workdir, 0, Seq(MetricsRow(0, 0, 0, 0, 0, 0, seedUrls.size, 0, 0, 0)))
@@ -1677,6 +1927,18 @@ object Crawl {
       .unionByName(fresh.groupBy("first_ip").agg(count(lit(1)).as("n")))
       .groupBy("first_ip").agg(sum(col("n")).as("n"))
       .write.mode("overwrite").parquet(s"${snapDir(workdir, i)}/ip_counts_tmp")
+    // A3: an injected IP must wake the scheduler next iteration, or the
+    // due-IP prefilter would never scan its new rows
+    val hasIpNext = new java.io.File(s"${snapDir(workdir, i)}/ip_next").exists
+    if (hasIpNext) {
+      spark.read.parquet(s"${snapDir(workdir, i)}/ip_next").withColumn("pri", lit(0))
+        .unionByName(reqs.select(col("first_ip")).distinct()
+          .withColumn("next_ms", lit(0L)).withColumn("pri", lit(1)))
+        .groupBy("first_ip")
+        .agg(max(struct(col("pri"), col("next_ms"))).as("s"))
+        .select(col("first_ip"), col("s.next_ms").as("next_ms"))
+        .write.mode("overwrite").parquet(s"${snapDir(workdir, i)}/ip_next_tmp")
+    }
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"${snapDir(workdir, i)}/seen_bloom"), true)
     fs.rename(new org.apache.hadoop.fs.Path(s"${snapDir(workdir, i)}/seen_bloom_tmp"),
@@ -1684,6 +1946,11 @@ object Crawl {
     fs.delete(new org.apache.hadoop.fs.Path(s"${snapDir(workdir, i)}/ip_counts"), true)
     fs.rename(new org.apache.hadoop.fs.Path(s"${snapDir(workdir, i)}/ip_counts_tmp"),
       new org.apache.hadoop.fs.Path(s"${snapDir(workdir, i)}/ip_counts"))
+    if (hasIpNext) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"${snapDir(workdir, i)}/ip_next"), true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"${snapDir(workdir, i)}/ip_next_tmp"),
+        new org.apache.hadoop.fs.Path(s"${snapDir(workdir, i)}/ip_next"))
+    }
     fresh.unpersist()
     reqs.unpersist()
     n

@@ -217,6 +217,7 @@ object Errs {
   val EDOCSIMPLIFIEDREDIR = 32816
   val EDOCBADREDIRECTURL = 32817
   val ELINKLOOP = 32876 // repeating path components (XmlDoc.cpp:4302)
+  val EDOCURLSPAM = 32806 // url porn/spam classifier hit (XmlDoc.cpp:4316; enum value probed from GbErrno.h)
   val EDOCBADCONTENTTYPE = 32811 // bad extension (XmlDoc.cpp:4507-4513)
   // the add-url DNS hop: a fake-firstIp add-url request is never
   // downloaded — indexDoc short-circuits (XmlDoc.cpp:2812-2828), the

@@ -1,0 +1,143 @@
+package graft.frontier
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** O(delta) state maintenance: hash-bucketed LSM chain for the small
+  * keyed state tables (inlink/tag/quota/ip/dom state).
+  *
+  * The r3 engine rewrote EVERY state table in full each iteration even
+  * though the per-iteration delta is tiny (VERDICT r3 "What's wrong"
+  * #2): at 10^10 URLs, inlink_state is O(urls-with-inlinks) — a full
+  * shuffle + rewrite per iteration. The reference never does this: its
+  * Rdb trees absorb deltas in memory and dump/merge them incrementally
+  * (Rdb.cpp addRecord / dumpTree; RdbMerge). This is the Spark-native
+  * analogue, generalizing the SeenBloom touched-buckets-only pattern:
+  *
+  *  - rows are hash-bucketed on the table's key (tabulation/xxhash →
+  *    uniform buckets regardless of host skew);
+  *  - a snapshot stores either a FULL table (`_GRAFT_FULL` marker —
+  *    init or compaction, all buckets present) or a DELTA (only the
+  *    buckets whose keys this iteration touched, written via
+  *    `partitionBy("bucket")` so untouched buckets simply do not
+  *    appear);
+  *  - the loader walks the snapshot chain newest-first taking the FIRST
+  *    version of each bucket it sees (newer shadows older) and stops at
+  *    a full snapshot — path-level pruning, no read of superseded
+  *    versions;
+  *  - the merge path loads ONLY the touched buckets (driver knows the
+  *    bucket ids — the delta is small by construction), merges prior
+  *    rows of those buckets with the delta under the caller's own
+  *    semantics, and writes just those buckets forward.
+  *
+  * Iteration cost: O(delta + rows-in-touched-buckets) I/O and shuffle,
+  * instead of O(state). Bucket count sizes a bucket to a comfortable
+  * task (state/B rows); the chain is reset by compaction (writeFull).
+  */
+object StateTable {
+
+  /** Uniform bucket id for a key column. uh48/site hashes are already
+    * tabulation-hashed; xxhash64 re-mixes arbitrary key tuples. */
+  def bucketCol(keys: Seq[Column], buckets: Int): Column =
+    pmod(xxhash64(keys: _*), lit(buckets)).cast("int")
+
+  private def fullMarker(dir: String) = new java.io.File(dir, "_GRAFT_FULL")
+
+  /** Full write (init / compaction): all buckets, chain reset. An empty
+    * table writes no bucket dirs — just the marker — and loads as
+    * empty. */
+  def writeFull(df: DataFrame, keys: Seq[Column], buckets: Int, dir: String): Unit = {
+    df.withColumn("bucket", bucketCol(keys, buckets))
+      .write.partitionBy("bucket").mode("overwrite").parquet(dir)
+    new java.io.File(dir).mkdirs() // empty table → no task output dirs
+    fullMarker(dir).createNewFile()
+  }
+
+  /** Delta write: only the buckets present in `merged` (= the touched
+    * buckets, already carrying their complete merged contents) appear
+    * in this snapshot. */
+  def writeDelta(merged: DataFrame, keys: Seq[Column], buckets: Int, dir: String): Unit =
+    merged.withColumn("bucket", bucketCol(keys, buckets))
+      .write.partitionBy("bucket").mode("overwrite").parquet(dir)
+
+  private def bucketDirs(dir: java.io.File): Array[java.io.File] = {
+    val fs = dir.listFiles()
+    if (fs == null) Array.empty
+    else fs.filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+  }
+
+  private def bucketId(f: java.io.File): Int = f.getName.stripPrefix("bucket=").toInt
+
+  /** Per-bucket newest paths across the chain, optionally restricted to
+    * `wanted` bucket ids. Returns (leafDirs, legacyFullDir): a legacy
+    * full dir (pre-bucketing layout: plain part files, no marker
+    * needed — every pre-StateTable snapshot wrote full) is read whole
+    * minus the buckets already shadowed. */
+  private def resolve(workdir: String, i: Int, name: String,
+                      wanted: Option[Set[Int]]): (Seq[String], Option[(String, Set[Int])]) = {
+    val seen = scala.collection.mutable.Set[Int]()
+    val paths = scala.collection.mutable.ListBuffer[String]()
+    var legacy: Option[(String, Set[Int])] = None
+    var k = i
+    var done = false
+    while (k >= 0 && !done) {
+      val dir = new java.io.File(s"${Crawl.snapDir(workdir, k)}/$name")
+      if (dir.exists) {
+        val bds = bucketDirs(dir)
+        val hasLoose = {
+          val fs = dir.listFiles()
+          fs != null && fs.exists(f => f.isFile && f.getName.startsWith("part-"))
+        }
+        if (bds.isEmpty && hasLoose) {
+          // legacy layout: unbucketed full table → base, stop
+          legacy = Some((dir.getPath, seen.toSet)); done = true
+        } else {
+          // bucketed delta/full (an empty delta has neither bucket dirs
+          // nor part files and simply contributes nothing)
+          bds.foreach { bd =>
+            val id = bucketId(bd)
+            if (!seen(id) && wanted.forall(_.contains(id))) { seen += id; paths += bd.getPath }
+            else if (!seen(id)) seen += id // shadowed for legacy-base exclusion
+          }
+          if (fullMarker(dir.getPath).exists()) done = true
+        }
+      }
+      k -= 1
+    }
+    (paths.toSeq, legacy)
+  }
+
+  /** Load the table as of snapshot i. `keys` recompute the bucket id
+    * for legacy-base exclusion; `empty` supplies the schema when the
+    * chain holds nothing. */
+  def load(spark: SparkSession, workdir: String, i: Int, name: String,
+           keys: DataFrame => Seq[Column], buckets: Int, empty: => DataFrame): DataFrame =
+    loadBuckets(spark, workdir, i, name, keys, buckets, empty, None)
+
+  /** Load ONLY the given buckets (the merge path's prior side). */
+  def loadBuckets(spark: SparkSession, workdir: String, i: Int, name: String,
+                  keys: DataFrame => Seq[Column], buckets: Int, empty: => DataFrame,
+                  wanted: Option[Set[Int]]): DataFrame = {
+    val (paths, legacy) = resolve(workdir, i, name, wanted)
+    val parts = scala.collection.mutable.ListBuffer[DataFrame]()
+    if (paths.nonEmpty)
+      parts += spark.read.parquet(paths: _*)
+    legacy.foreach { case (dir, shadowed) =>
+      var df = spark.read.parquet(dir)
+      if (shadowed.nonEmpty)
+        df = df.filter(!bucketCol(keys(df), buckets).isInCollection(shadowed))
+      wanted.foreach(w => df = df.filter(bucketCol(keys(df), buckets).isInCollection(w)))
+      parts += df
+    }
+    if (parts.isEmpty) empty
+    else parts.reduce(_ unionByName _)
+  }
+
+  /** The touched bucket ids of a delta (one tiny job on the — cached —
+    * delta source; the driver needs the ids for path-level pruning). */
+  def touchedBuckets(delta: DataFrame, keys: DataFrame => Seq[Column], buckets: Int): Set[Int] = {
+    import org.apache.spark.sql.Encoders
+    delta.select(bucketCol(keys(delta), buckets).as("b")).distinct()
+      .as[Int](Encoders.scalaInt).collect().toSet
+  }
+}

@@ -34,7 +34,7 @@ import org.apache.spark.sql.types._
   * priority:int, ufn:int, spider_time_ms:long, hop_count:int, ip_max:int,
   * was_indexed_in:boolean, flags:long, site_hash32:int, dom_hash32:int.
   */
-case class WinnerDolePlan(k: Int, maxWinners: Int,
+case class WinnerDolePlan(k: Int, maxWinners: Int, emitWake: Boolean,
                           override val output: Seq[Attribute],
                           child: LogicalPlan) extends UnaryNode {
   // keep every child column alive (resolved by name at execution time;
@@ -56,11 +56,26 @@ object WinnerDole {
 
   /** Wrap `scored` (must carry the 12 input columns) in the dole
     * operator; registers the planning strategy on the session once. */
-  def apply(scored: DataFrame, k: Int, maxWinners: Int): DataFrame = {
+  def apply(scored: DataFrame, k: Int, maxWinners: Int): DataFrame =
+    build(scored, k, maxWinners, emitWake = false)
+
+  /** Wake-emitting variant (the waiting-tree maintenance pass, A3):
+    * the child additionally carries `eligible:boolean` (row may be doled
+    * NOW) and `next_lb:long` (a lower bound on the row's next spider
+    * time that stays valid until the IP is touched). Besides the winner
+    * rows, each scanned IP emits ONE sentinel row with seq_in_ip = -1
+    * and spider_time_ms = min(next_lb) over ALL its rows — the per-IP
+    * next-eligible entry the scheduler's due-IP prefilter consumes next
+    * iteration (Spider.cpp:2503-2724 addToWaitingTree /
+    * :3160 populateDoledbFromWaitingTree). */
+  def wake(scored: DataFrame, k: Int, maxWinners: Int): DataFrame =
+    build(scored, k, maxWinners, emitWake = true)
+
+  private def build(scored: DataFrame, k: Int, maxWinners: Int, emitWake: Boolean): DataFrame = {
     val spark = scored.sparkSession
     register(spark)
     val out = outSchema.map { case (n, t) => AttributeReference(n, t, nullable = false)() }
-    GraftShim.ofRows(spark, WinnerDolePlan(k, maxWinners, out, GraftShim.logicalPlan(scored)))
+    GraftShim.ofRows(spark, WinnerDolePlan(k, maxWinners, emitWake, out, GraftShim.logicalPlan(scored)))
   }
 
   def register(spark: SparkSession): Unit = synchronized {
@@ -70,13 +85,13 @@ object WinnerDole {
 
 object WinnerDoleStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case WinnerDolePlan(k, maxWinners, out, child) =>
-      WinnerDoleExec(k, maxWinners, out, planLater(child)) :: Nil
+    case WinnerDolePlan(k, maxWinners, emitWake, out, child) =>
+      WinnerDoleExec(k, maxWinners, emitWake, out, planLater(child)) :: Nil
     case _ => Nil
   }
 }
 
-case class WinnerDoleExec(k: Int, maxWinners: Int,
+case class WinnerDoleExec(k: Int, maxWinners: Int, emitWake: Boolean,
                           override val output: Seq[Attribute],
                           child: SparkPlan) extends UnaryExecNode {
 
@@ -99,7 +114,9 @@ case class WinnerDoleExec(k: Int, maxWinners: Int,
     val timeI = idx("spider_time_ms"); val hopI = idx("hop_count")
     val ipMaxI = idx("ip_max"); val wasI = idx("was_indexed_in")
     val flagsI = idx("flags"); val siteI = idx("site_hash32"); val domI = idx("dom_hash32")
-    val kLoc = k; val maxW = maxWinners
+    val eligI = if (emitWake) idx("eligible") else -1
+    val lbI = if (emitWake) idx("next_lb") else -1
+    val kLoc = k; val maxW = maxWinners; val wake = emitWake
     val outTypes = output.zipWithIndex.map { case (a, i) => BoundReference(i, a.dataType, a.nullable) }
 
     child.execute().mapPartitions({ iter =>
@@ -114,6 +131,8 @@ case class WinnerDoleExec(k: Int, maxWinners: Int,
         private var winners: Array[WinnerItem] = null
         private var pos = 0
         private var exhausted = false
+        private var groupMinLb = Long.MaxValue
+        private var sentinelPending = false
 
         private def insert(row: InternalRow): Unit = {
           val pri = row.getInt(priI)
@@ -136,15 +155,29 @@ case class WinnerDoleExec(k: Int, maxWinners: Int,
           val first = if (pending != null) pending else iter.next()
           pending = null
           groupIp = first.getInt(ipI)
-          insert(first)
+          groupMinLb = Long.MaxValue
+          consume(first)
           var more = true
           while (more && iter.hasNext) {
             val row = iter.next()
             if (row.getInt(ipI) != groupIp) { pending = row.copy(); more = false }
-            else insert(row)
+            else consume(row)
           }
           winners = heap.sorted; pos = 0; heap.clear()
+          sentinelPending = wake
           true
+        }
+
+        /** In wake mode only ELIGIBLE rows compete for the dole, but
+          * every row's next_lb feeds the group's next-eligible minimum
+          * (an ineligible row is exactly what determines when the IP
+          * wakes up). */
+        private def consume(row: InternalRow): Unit = {
+          if (wake) {
+            val lb = row.getLong(lbI)
+            if (lb < groupMinLb) groupMinLb = lb
+            if (row.getBoolean(eligI)) insert(row)
+          } else insert(row)
         }
 
         /** Stage the next output row: winners best-first with the
@@ -170,7 +203,21 @@ case class WinnerDoleExec(k: Int, maxWinners: Int,
                 nextRow = proj(outRow)
               }
             }
-            if (pos >= winners.length) winners = null
+            if (nextRow == null && pos >= winners.length) {
+              if (sentinelPending) {
+                // the per-IP waiting-tree entry: seq_in_ip = -1,
+                // spider_time_ms = min(next_lb) over the whole group
+                sentinelPending = false
+                outRow.update(0, 0L); outRow.update(1, groupIp)
+                outRow.update(2, org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8)
+                outRow.update(3, 0); outRow.update(4, 0)
+                outRow.update(5, groupMinLb); outRow.update(6, 0)
+                outRow.update(7, -1); outRow.update(8, false)
+                outRow.update(9, 0L); outRow.update(10, 0); outRow.update(11, 0)
+                nextRow = proj(outRow)
+              }
+              winners = null
+            }
           }
         }
 

@@ -58,10 +58,39 @@ class PlanSpec extends AnyFunSuite {
     // the reply/state/inlink sides broadcast at this scale
     val exchanges = "Exchange hashpartitioning\\(first_ip".r.findAllIn(p).length
     assert(exchanges == 1, s"expected ONE frontier exchange on first_ip, got $exchanges:\n$p")
-    // A2 winner selection is the BOUNDED-heap aggregate, not a window:
-    // a window's per-IP full sort buffers an entire skewed IP in one
-    // task (the 100-TB scale-killer); the heap keeps O(k) state
+    // A2 winner selection is the BOUNDED-heap streamed operator, not a
+    // window (a window's per-IP full sort buffers an entire skewed IP
+    // in one task — the 100-TB scale-killer) and not the r3
+    // partial+final aggregate (whose per-heap serde was the r3 schedule
+    // kernel's top cost): ONE WinnerDole pass over the ip-sorted stream
     assert(!p.contains("Window"), s"winner selection must not be a Window:\n$p")
-    assert(p.contains("winner_topk"), s"expected the winner_topk aggregate:\n$p")
+    assert(p.contains("WinnerDole"), s"expected the WinnerDole operator:\n$p")
+    assert(!p.contains("winner_topk"), s"the groupBy(winner_topk) aggregate shape is retired:\n$p")
+  }
+
+  test("scheduleWake: due-IP semi-join prunes the frontier scan BELOW the exchange") {
+    import spark.implicits._
+    val reqs = spark.createDataset((0 until 100).map { k =>
+      val u = graft.core.GbUrl.parse(s"http://h$k.test/p.html")
+      graft.frontier.FrontierRequest(u.uh48, k + 1, u.url, u.hostHash32, u.domHash32,
+        u.hostHash32, -1, 1400000000L, 1400000000L, 1, "", 0L, 0, 0L)
+    })
+    val due = Seq(1, 2, 3).toDF("first_ip")
+    val so = graft.frontier.Crawl.scheduleWake(reqs,
+      spark.emptyDataset[graft.frontier.FrontierReply],
+      spark.emptyDataset[graft.frontier.IpState],
+      spark.emptyDataset[graft.frontier.DomState],
+      graft.frontier.Crawl.Config(), 1,
+      spark.emptyDataset[graft.frontier.InlinkState], null,
+      Some(due.withColumn("next_ms", lit(0L))))
+    assert(so.wake, "default rules must be wake-safe")
+    val p = plan(so.dole)
+    // the semi-join on the due set must appear, and it must sit BELOW
+    // the first_ip exchange (non-due rows never shuffle)
+    assert(p.contains("LeftSemi"), s"expected the due-IP semi-join:\n$p")
+    val semiAt = p.indexOf("LeftSemi")
+    val exAt = p.indexOf("Exchange hashpartitioning(first_ip")
+    assert(exAt >= 0 && semiAt > exAt,
+      s"semi-join must be under the exchange (appear after it in the tree):\n$p")
   }
 }
