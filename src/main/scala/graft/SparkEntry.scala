@@ -258,7 +258,7 @@ object SparkEntry {
     // firstIp/site/dom key + the ^0x123456 manual-add seed counts
     // (m_localTable, Spider.cpp:4355-4421), incrementally maintained
     "a6_quota_frontier" -> ((s, d) =>
-      s.read.parquet(s"${Crawl.snapDir(crawlDir(s), 8)}/quota_state")
+      Crawl.loadQuotaState(s, crawlDir(s), 8)
         .select(col("key"), col("n"))),
     // percentChangedPerDay on a REAL mutating re-fetch (reindex → rev-1
     // corpus): values strictly inside (0, 100/dt) — the term-level
@@ -298,9 +298,22 @@ object SparkEntry {
         col("distinct_tokens").cast("long").as("distinct_tokens"))),
     "text_langid" -> ((s, d) => TextOps.langId(read(s, d, "documents"))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprints(read(s, d, "documents"))),
-    "mm_decode_stub" -> ((s, d) =>
-      TextOps.decodeMedia(read(s, d, "documents").withColumn("blob", encode(col("text"), "UTF-8")), "blob", "doc_id")
-        .select(col("doc_id"), col("width").cast("long").as("width"), col("height").cast("long").as("height")))
+    "mm_decode" -> ((s, d) => {
+      // binary media column round-trip: synthesize a VALID container per
+      // doc (PNG/GIF/BMP bytes, dims = arithmetic on doc_id), then prove
+      // the header decoder parses those dims back OUT OF THE BYTES —
+      // the oracle recomputes the arithmetic directly
+      val blob = udf((id: Long) => TextOps.mediaBlob(id, TextOps.mediaFixtureFormat(id)))
+      TextOps.decodeMedia(read(s, d, "documents").withColumn("blob", blob(col("doc_id"))), "blob", "doc_id")
+        .select(col("doc_id"), col("format"),
+          col("width").cast("long").as("width"), col("height").cast("long").as("height"))
+    }),
+
+    // ----- search-side slice (SURVEY §2.6): AND-intersection → score →
+    // site-clustered top-k over the documents table
+    "q2_search_topk" -> ((s, d) =>
+      graft.search.Search.searchTopK(read(s, d, "documents"),
+        "doc_id", "text", "source", "spark hash merge", 20))
   )
 
   /** Builds a DuckDB VALUES oracle from a committed golden tsv. `cols`:
@@ -332,8 +345,19 @@ object SparkEntry {
       Seq(("doc_id", "BIGINT", false), ("fingerprint", "BIGINT", false))),
     "text_langid" -> valuesOracle("textops_langid.tsv",
       Seq(("doc_id", "BIGINT", false), ("pred_lang", "VARCHAR", true), ("lang", "VARCHAR", true))),
-    "mm_decode_stub" -> valuesOracle("textops_mm_decode.tsv",
-      Seq(("doc_id", "BIGINT", false), ("width", "BIGINT", false), ("height", "BIGINT", false))),
+    "mm_decode" ->
+      ("SELECT doc_id, " +
+        "CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp' ELSE 'unknown' END AS format, " +
+        "CAST(CASE WHEN doc_id % 4 = 3 THEN -1 ELSE 1 + (doc_id*7+3) % 64 END AS BIGINT) AS width, " +
+        "CAST(CASE WHEN doc_id % 4 = 3 THEN -1 ELSE 1 + (doc_id*13+5) % 64 END AS BIGINT) AS height " +
+        "FROM documents"),
+    "q2_search_topk" ->
+      ("WITH toks AS (SELECT doc_id, source, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w FROM documents), " +
+        "tf AS (SELECT doc_id, source, w, count(*) AS tf FROM toks WHERE w IN ('spark','hash','merge') GROUP BY 1,2,3), " +
+        "scored AS (SELECT doc_id, source, sum(tf) AS score FROM tf GROUP BY 1,2 HAVING count(DISTINCT w) = 3), " +
+        "clustered AS (SELECT doc_id, score FROM (SELECT doc_id, score, row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS sr FROM scored) WHERE sr <= 2), " +
+        "topk AS (SELECT doc_id, CAST(score AS BIGINT) AS score FROM clustered ORDER BY score DESC, doc_id ASC LIMIT 20) " +
+        "SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank FROM topk"),
     "dedup_embedding_lsh" -> valuesOracle("textops_embedding_lsh.tsv",
       Seq(("vec_a", "BIGINT", false), ("vec_b", "BIGINT", false))),
 

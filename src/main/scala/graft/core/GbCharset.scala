@@ -62,6 +62,21 @@ object GbCharset {
       case "euc-jp" | "x-euc-jp" => Detected(CsOtherSupported, "EUC-JP")
       case "big5" | "big-5" | "csbig5" => Detected(CsOtherSupported, "Big5")
       case "koi8-r" | "cskoi8r" => Detected(CsOtherSupported, "KOI8-R")
+      case "koi8-u" => Detected(CsOtherSupported, "KOI8-U")
+      case "windows-1251" | "cp1251" | "win-1251" => Detected(CsOtherSupported, "windows-1251")
+      case "ibm866" | "cp866" | "866" | "csibm866" => Detected(CsOtherSupported, "IBM866")
+      case "macintosh" | "mac" | "csmacintosh" => Detected(CsOtherSupported, "x-MacRoman")
+      case "tis-620" | "cstis620" | "iso-8859-11" => Detected(CsOtherSupported, "TIS-620")
+      // iana_charset.cpp language-name aliases for the 8859 family
+      case "latin2" | "l2" | "csisolatin2" => Detected(CsOtherSupported, "ISO-8859-2")
+      case "latin3" | "l3" => Detected(CsOtherSupported, "ISO-8859-3")
+      case "latin4" | "l4" => Detected(CsOtherSupported, "ISO-8859-4")
+      case "cyrillic" | "csisolatincyrillic" => Detected(CsOtherSupported, "ISO-8859-5")
+      case "arabic" | "ecma-114" | "csisolatinarabic" => Detected(CsOtherSupported, "ISO-8859-6")
+      case "greek" | "greek8" | "ecma-118" | "csisolatingreek" => Detected(CsOtherSupported, "ISO-8859-7")
+      case "hebrew" | "csisolatinhebrew" => Detected(CsOtherSupported, "ISO-8859-8")
+      case "latin5" | "l5" => Detected(CsOtherSupported, "ISO-8859-9")
+      case "latin6" | "l6" => Detected(CsOtherSupported, "ISO-8859-10")
       case n if n.startsWith("iso-8859-") || n.startsWith("iso8859-") =>
         val suffix = n.substring(n.indexOf("8859-") + 5)
         if (suffix.forall(_.isDigit) && suffix.nonEmpty && suffix.toInt >= 2 && suffix.toInt <= 16)

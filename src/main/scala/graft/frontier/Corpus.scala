@@ -85,17 +85,30 @@ object Corpus {
     }
   }
 
-  /** Hosts k≡6 (mod 8) serve their leaf pages as ISO-8859-1 with a meta
-    * charset tag (X7 coverage: the charset-detect + convert path runs on
-    * real crawl pages, not just unit fixtures). */
-  def isLatin1Page(k: Int, p: Int, spec: Spec): Boolean =
+  /** Hosts k≡6 (mod 8) serve their leaf pages in a NON-UTF-8 charset
+    * with a meta charset tag (X7 coverage: the charset-detect + convert
+    * path runs on real crawl pages, not just unit fixtures). k≡6
+    * (mod 16) stays ISO-8859-1 (so the 8-host micro spec's goldens are
+    * stable); k≡14 (mod 16) rotates through the wider codepage set the
+    * reference converts via iconv + iana_charset.cpp — koi8-r (ru),
+    * iso-8859-2 (pl), shift_jis (ja; multi-byte). */
+  def isCharsetPage(k: Int, p: Int, spec: Spec): Boolean =
     k % 8 == 6 && p > spec.sectionsPerHost && p != spec.feedPage && p != spec.feed2Page
 
-  /** Raw page bytes as served: latin1-encoded for latin1 pages. */
+  def isLatin1Page(k: Int, p: Int, spec: Spec): Boolean =
+    isCharsetPage(k, p, spec) && pageCharset(k) == "iso-8859-1"
+
+  private val rotCharsets = Array("koi8-r", "iso-8859-2", "shift_jis")
+
+  /** The charset a k≡6 (mod 8) host serves its leaves in. */
+  def pageCharset(k: Int): String =
+    if (k % 16 == 6) "iso-8859-1" else rotCharsets((k / 16) % 3)
+
+  /** Raw page bytes as served: charset-encoded for k≡6 (mod 8) leaves. */
   def pageBytes(k: Int, p: Int, spec: Spec): Array[Byte] = pageBytes(k, p, spec, 0)
 
   def pageBytes(k: Int, p: Int, spec: Spec, rev: Int): Array[Byte] =
-    if (isLatin1Page(k, p, spec)) pageHtml(k, p, spec, rev).getBytes("ISO-8859-1")
+    if (isCharsetPage(k, p, spec)) pageHtml(k, p, spec, rev).getBytes(pageCharset(k))
     else pageHtml(k, p, spec, rev).getBytes("UTF-8")
 
   /** RSS 2.0 feed body: items link two leaves + a cross-host root. The
@@ -148,7 +161,7 @@ object Corpus {
     if (p == spec.feed2Page) return feed2Xml(k, spec)
     val sb = new StringBuilder(1024)
     val title = if (p == 0) s"Host $k home" else s"Host $k page $p"
-    val meta = if (isLatin1Page(k, p, spec)) "<meta charset=iso-8859-1>" else ""
+    val meta = if (isCharsetPage(k, p, spec)) s"<meta charset=${pageCharset(k)}>" else ""
     sb.append(s"<html><head>$meta<title>$title</title></head><body>")
     sb.append(s"<h1>$title</h1>")
     sb.append(s"<p>Deterministic body text for host $k page $p. ")
@@ -202,12 +215,29 @@ object Corpus {
       sb.append(s"""<a href="/">home</a> """)
       sb.append(s"""<a href="../${secName(k, p % spec.sectionsPerHost + 1)}/">next</a> """)
     } else {
-      if (isLatin1Page(k, p, spec))
-        // French body (latin1-encoded): the charset path AND the X14
-        // language id path — replies for these leaves carry lang=fr
-        sb.append("<p>Très déjà vu: naïve façade, ½ cup. " +
-          "Les enfants sont dans le jardin avec leurs amis et ils jouent " +
-          "près de la maison pour une heure après le repas.</p>")
+      if (isCharsetPage(k, p, spec)) pageCharset(k) match {
+        // non-ASCII bodies, each encodable in its page charset: the
+        // charset path (X7) AND the X14 language id path run on real
+        // crawl pages. Byte-parity with the reference's iconv conversion
+        // is pinned by ref_text.tsv (GenRefCorpus + refharness).
+        case "iso-8859-1" =>
+          // French body (latin1-encoded) — replies carry lang=fr
+          sb.append("<p>Très déjà vu: naïve façade, ½ cup. " +
+            "Les enfants sont dans le jardin avec leurs amis et ils jouent " +
+            "près de la maison pour une heure après le repas.</p>")
+        case "koi8-r" =>
+          sb.append("<p>Быстрая коричневая лиса прыгает через ленивую собаку. " +
+            "Дети играют в саду возле дома после обеда и они читают книги вместе.</p>")
+        case "iso-8859-2" =>
+          sb.append("<p>Zażółć gęślą jaźń. Dzieci bawią się w ogrodzie przy domu " +
+            "po obiedzie i czytają razem książki przez godzinę każdego dnia.</p>")
+        case "shift_jis" =>
+          // hiragana/katakana/common kanji only (identical across
+          // iconv SHIFT_JIS and java.nio Shift_JIS; no 0x5C/wave-dash
+          // ambiguity bytes)
+          sb.append("<p>こどもたちはごごににわであそびます。そのあといっしょにほんをよみます。" +
+            "きょうはてんきがよくてとてもたのしいです。</p>")
+      }
       sb.append(s"""<a href="/">home</a> """)
       // every 3rd leaf links to a sibling host page (deeper discovery)
       if (p % 3 == 0) {

@@ -382,19 +382,56 @@ object TextOps {
 
   // ------------------------------------------------------------ multimodal
 
-  /** Multimodal column plumbing with a STUBBED decoder: treats a binary
-    * column as an opaque media blob, "decodes" it with a deterministic
-    * fake (real image/audio libs are not in this container), and returns
-    * typed metadata + a fixed-shape feature vector. The Spark-side shape
-    * — binary column in, struct(metadata, array<float> features) out,
-    * batch-iterated per partition — is the real contract; swap
-    * `stubDecode` for an actual decoder on a cluster with codecs. */
-  def stubDecode(blob: Array[Byte]): (Int, Int, Array[Float]) = {
-    val h = GbHash.hash64(blob, 0, math.min(blob.length, 256), 0L)
-    val w = 64 + math.floorMod(h, 448).toInt // fake width 64..512
-    val ht = 64 + math.floorMod(h >> 16, 448).toInt
-    val feat = Array.tabulate(8)(i => ((h >>> (i * 8)) & 0xff).toFloat / 255f)
-    (w, ht, feat)
+  /** Multimodal column plumbing with a REAL header decoder: treats a
+    * binary column as an opaque media blob, sniffs the container by
+    * magic bytes and parses the dimensions out of the header with pure
+    * byte reads — no codec dependency, the same role the reference
+    * fills by shelling out to giftopnm/bmptopnm for thumbnailing
+    * (Images.cpp: gbgetexecpath + "giftopnm"/"bmptopnm" pipeline).
+    * Formats: PNG (IHDR), GIF87a/89a (logical screen descriptor),
+    * BMP (BITMAPINFOHEADER), JPEG (SOFn marker scan). Unknown or
+    * truncated blobs → ("unknown", -1, -1): malformed media must not
+    * fail the pipeline, it must be filterable. */
+  def decodeHeader(b: Array[Byte]): (String, Int, Int) = {
+    @inline def u8(i: Int) = b(i) & 0xff
+    @inline def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    @inline def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    @inline def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    @inline def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    val unknown = ("unknown", -1, -1)
+    if (b.length >= 24 && u8(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+      u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a)
+      ("png", be32(16), be32(20)) // IHDR is always the first chunk at offset 8
+    else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      ("gif", le16(6), le16(8))
+    else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+      ("bmp", le32(18), math.abs(le32(22))) // height < 0 = top-down DIB
+    else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // JPEG: walk marker segments to the first SOFn (C0-CF minus the
+      // non-frame C4/C8/CC); dims are big-endian at +5 (height first)
+      var i = 2
+      while (i + 9 < b.length) {
+        if (u8(i) != 0xff) return unknown
+        val m = u8(i + 1)
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+          return ("jpeg", be16(i + 7), be16(i + 5))
+        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone marker
+        else i += 2 + be16(i + 2)
+      }
+      unknown
+    } else unknown
+  }
+
+  /** 8-bin normalized byte histogram over the payload — a real (if
+    * simple) per-blob feature vector; downstream contract is a
+    * fixed-shape array<float> column. */
+  def byteHistogram(b: Array[Byte]): Array[Float] = {
+    val bins = new Array[Float](8)
+    var i = 0
+    while (i < b.length) { bins((b(i) & 0xff) >> 5) += 1f; i += 1 }
+    if (b.length > 0) { var j = 0; while (j < 8) { bins(j) /= b.length; j += 1 } }
+    bins
   }
 
   def decodeMedia(df: DataFrame, binCol: String, idCol: String): DataFrame = {
@@ -406,11 +443,93 @@ object TextOps {
     df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // real decoder/codec init would happen here, once per partition
-        it.map { case (id, b) =>
-          val (w, h, f) = stubDecode(if (b == null) Array.empty[Byte] else b)
-          (id, w, h, f)
+        it.map { case (id, bIn) =>
+          val b = if (bIn == null) Array.empty[Byte] else bIn
+          val (fmt, w, h) = decodeHeader(b)
+          (id, fmt, w, h, byteHistogram(b))
         }
       }
-      .toDF(idCol, "width", "height", "features")
+      .toDF(idCol, "format", "width", "height", "features")
+  }
+
+  /** Deterministic VALID media fixtures, one per (id, fmt): real PNG
+    * (zlib IDAT + CRC32 chunks), GIF89a, BMP (BITMAPINFOHEADER) bytes
+    * whose dimensions derive from the id — lets an oracle recompute
+    * width/height as pure arithmetic while the engine proves it parsed
+    * them back OUT OF THE BYTES. Validity is asserted in tests by
+    * re-reading with javax.imageio. */
+  /** Fixture format rotation (the 4th slot is deliberately junk —
+    * malformed media is a first-class input at 100 TB). */
+  private val fixtureFormats = Array("png", "gif", "bmp", "unknown")
+  def mediaFixtureFormat(id: Long): String = fixtureFormats(math.floorMod(id, 4).toInt)
+
+  def mediaBlob(id: Long, fmt: String): Array[Byte] = {
+    val w = 1 + math.floorMod(id * 7 + 3, 64).toInt
+    val h = 1 + math.floorMod(id * 13 + 5, 64).toInt
+    fmt match {
+      case "png" =>
+        val bos = new java.io.ByteArrayOutputStream()
+        def chunk(tag: String, body: Array[Byte]): Unit = {
+          val len = body.length
+          bos.write(Array[Byte]((len >>> 24).toByte, (len >>> 16).toByte, (len >>> 8).toByte, len.toByte))
+          val tb = tag.getBytes("US-ASCII")
+          val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(body)
+          val c = crc.getValue
+          bos.write(tb); bos.write(body)
+          bos.write(Array[Byte]((c >>> 24).toByte, (c >>> 16).toByte, (c >>> 8).toByte, c.toByte))
+        }
+        bos.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+        val ihdr = java.nio.ByteBuffer.allocate(13)
+        ihdr.putInt(w).putInt(h).put(8.toByte).put(0.toByte) // 8-bit grayscale
+          .put(0.toByte).put(0.toByte).put(0.toByte)
+        chunk("IHDR", ihdr.array())
+        val raw = new Array[Byte](h * (w + 1)) // zero scanlines, filter 0
+        val defl = new java.util.zip.Deflater()
+        defl.setInput(raw); defl.finish()
+        val comp = new Array[Byte](raw.length + 64)
+        val n = defl.deflate(comp); defl.end()
+        chunk("IDAT", java.util.Arrays.copyOf(comp, n))
+        chunk("IEND", Array.empty[Byte])
+        bos.toByteArray
+      case "gif" =>
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write("GIF89a".getBytes("US-ASCII"))
+        bos.write(Array[Byte](w.toByte, (w >> 8).toByte, h.toByte, (h >> 8).toByte))
+        bos.write(Array[Byte](0xf0.toByte, 0, 0))           // GCT flag, 2 colors
+        bos.write(Array[Byte](0, 0, 0, 0xff.toByte, 0xff.toByte, 0xff.toByte))
+        bos.write(Array[Byte](0x2c, 0, 0, 0, 0,             // image descriptor
+          w.toByte, (w >> 8).toByte, h.toByte, (h >> 8).toByte, 0))
+        bos.write(2) // LZW min code size
+        // raw LZW: clear(4), then w*h literal 0-pixels in 3-bit codes,
+        // end(5) — emitted as packed sub-blocks
+        val codes = Seq(4) ++ Seq.fill(w * h)(0) ++ Seq(5)
+        val bits = new java.io.ByteArrayOutputStream()
+        var acc = 0L; var nb = 0
+        codes.foreach { c =>
+          acc |= c.toLong << nb; nb += 3
+          while (nb >= 8) { bits.write((acc & 0xff).toInt); acc >>>= 8; nb -= 8 }
+        }
+        if (nb > 0) bits.write((acc & 0xff).toInt)
+        val data = bits.toByteArray
+        var off = 0
+        while (off < data.length) {
+          val blk = math.min(255, data.length - off)
+          bos.write(blk); bos.write(data, off, blk); off += blk
+        }
+        bos.write(0)    // block terminator
+        bos.write(0x3b) // trailer
+        bos.toByteArray
+      case "bmp" =>
+        val rowBytes = (w * 3 + 3) & ~3
+        val size = 54 + rowBytes * h
+        val bb = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+        bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        bb.putInt(0).putInt(rowBytes * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+        bb.array()
+      case _ =>
+        val j = s"junk$id".getBytes("UTF-8")
+        GbHash.hash64(j, 0, j.length, 0L).toString.getBytes("UTF-8")
+    }
   }
 }

@@ -30,10 +30,12 @@ object GenRefCorpus {
       k <- 0 until Corpus.micro.nHosts
       p <- 0 until Corpus.micro.pagesPerHost
     } yield Page("micro", k, p, Corpus.pageUrl(k, p, Corpus.micro), Corpus.pageBytes(k, p, Corpus.micro))
-    // bench hosts include k≡6 (mod 8) so the latin1/meta-charset pages
-    // (isLatin1Page) are covered, and k≡3 (mod 8) for the domain-only
-    // user-dir hosts (tagdb/SiteGetter corpus class)
-    val benchHosts = Seq(0, 1, 2, 3, 6, 11, 14, 31, 999, 1998, 1999)
+    // bench hosts include k≡6 (mod 8) so the meta-charset pages are
+    // covered across the WHOLE codepage rotation — 6: latin1, 14:
+    // koi8-r, 30: iso-8859-2, 46: shift_jis (byte-parity of the
+    // charset-detect + iconv conversion vs the reference) — and k≡3
+    // (mod 8) for the domain-only user-dir hosts (tagdb/SiteGetter)
+    val benchHosts = Seq(0, 1, 2, 3, 6, 11, 14, 30, 31, 46, 999, 1998, 1999)
     val bench = for {
       k <- benchHosts
       p <- 0 until Corpus.bench.pagesPerHost

@@ -40,8 +40,9 @@ object GenTextOpsGoldens {
     write("textops_ann_lsh.tsv", rows("ann_lsh_topk").map(_.mkString("\t")).sorted)
     write("textops_fingerprint.tsv", rows("text_fingerprint").map(_.mkString("\t")).sorted)
     write("textops_langid.tsv", rows("text_langid").map(_.mkString("\t")).sorted)
-    write("textops_mm_decode.tsv", rows("mm_decode_stub").map(_.mkString("\t")).sorted)
     write("textops_embedding_lsh.tsv", rows("dedup_embedding_lsh").map(_.mkString("\t")).sorted)
+    // (mm_decode needs no golden: its oracle is pure arithmetic — the
+    // fixture blobs' dimensions derive from doc_id)
 
     // recall of the LSH path vs the exact op, on the subset the exact op
     // covers (vec_id < 300, same 35% threshold) — recorded in BENCH.md

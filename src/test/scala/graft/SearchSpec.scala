@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.search.Search
+
+/** §2.6 search slice: postings, AND-intersection, tf scoring, site
+  * clustering (≤2 per site, Msg40.cpp:1822), bounded top-k. */
+class SearchSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def docs() = {
+    import spark.implicits._
+    Seq(
+      // site A: three docs match "fast spark" with distinct scores —
+      // clustering must keep only the best two
+      (1L, "fast spark spark spark fast", "a"),   // score 5
+      (2L, "fast fast spark", "a"),               // score 3
+      (3L, "fast spark", "a"),                    // score 2 — clustered away
+      // site B
+      (4L, "spark is fast, fast!", "b"),          // score 3 (punct split)
+      // AND misses: one term only
+      (5L, "spark spark spark spark spark", "b"),
+      (6L, "fast fast fast", "c"),
+      (7L, "nothing relevant", "c")
+    ).toDF("doc_id", "text", "source")
+  }
+
+  test("postings: lowercase alnum tokenization with positions") {
+    import spark.implicits._
+    val p = Search.postings(docs().filter("doc_id = 4"), "doc_id", "text")
+      .select("pos", "word").as[(Int, String)].collect().sortBy(_._1)
+    assert(p.map(_._2).toSeq == Seq("spark", "is", "fast", "fast"))
+    assert(p.map(_._1).toSeq == Seq(0, 1, 2, 3))
+  }
+
+  test("AND intersection + tf score + site clustering + top-k + rank") {
+    import spark.implicits._
+    val r = Search.searchTopK(docs(), "doc_id", "text", "source", "fast spark", 10)
+      .as[(Long, Long, Int)].collect().toSeq
+    // doc 3 clustered away (3rd best on site a); docs 5,6,7 fail AND
+    assert(r == Seq((1L, 5L, 1), (2L, 3L, 2), (4L, 3L, 3)))
+  }
+
+  test("k bounds the result") {
+    import spark.implicits._
+    val r = Search.searchTopK(docs(), "doc_id", "text", "source", "fast spark", 2)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(r == Seq((1L, 5L, 1), (2L, 3L, 2)))
+  }
+
+  test("single-term query needs no intersection") {
+    import spark.implicits._
+    val r = Search.searchTopK(docs(), "doc_id", "text", "source", "SPARK", 10)
+      .as[(Long, Long, Int)].collect().toSeq
+    // per-site best two: a → 1 (tf 3), 3|2 tie → doc 2? tf: doc1=3, doc2=1, doc3=1
+    // site a keeps doc1(3), doc2(1) (tie with doc3 broken by doc_id);
+    // site b: doc5(5), doc4(1)
+    assert(r.map(_._1) == Seq(5L, 1L, 2L, 4L))
+    assert(r.head._2 == 5L)
+  }
+
+  test("termId is the engine's own tabulation hash family") {
+    assert(Search.termId("spark") == graft.core.GbHash.hash64b("spark"))
+    assert(Search.termId("spark") != Search.termId("sparks"))
+  }
+}
