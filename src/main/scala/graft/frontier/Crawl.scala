@@ -1575,13 +1575,6 @@ object Crawl {
         !Flags.has(r.task.req_flags, Flags.IsPageReindex))
       .flatMap(r => Seq(r.task.first_ip, r.task.site_hash32, r.task.dom_hash32))
       .toDF("key")
-    val manualKeys = revised.toDF()
-      .filter(col("flags").bitwiseAND(lit(Flags.IsAddUrl | Flags.IsInjecting)) =!= 0)
-      .select(explode(array(
-        col("site_hash32").bitwiseXOR(lit(0x123456)),
-        col("dom_hash32").bitwiseXOR(lit(0x123456)))).as("key"))
-    val quotaDelta = indexedKeys.unionByName(manualKeys)
-      .groupBy("key").agg(count(lit(1)).as("n"))
 
     // STAGE 2: everything else is ONE flat concurrent write batch
     // (results is already materialized in cache by the fetch_log job, so
@@ -1594,11 +1587,34 @@ object Crawl {
     // full-loop bottleneck at small batch sizes (VERDICT r1/r2).
     val freshP = fresh.persist(StorageLevel.MEMORY_AND_DISK)
     val revisedP = revised.persist(StorageLevel.MEMORY_AND_DISK)
+    // manual-add seed keys derive from the PERSISTED revised rows: the
+    // quota delta is evaluated more than once (touched buckets + merge)
+    // and the unpersisted `revised` would recompute resolveRevised's
+    // frontier joins each time
+    val manualKeys = revisedP.toDF()
+      .filter(col("flags").bitwiseAND(lit(Flags.IsAddUrl | Flags.IsInjecting)) =!= 0)
+      .select(explode(array(
+        col("site_hash32").bitwiseXOR(lit(0x123456)),
+        col("dom_hash32").bitwiseXOR(lit(0x123456)))).as("key"))
+    val quotaDelta = indexedKeys.unionByName(manualKeys)
+      .groupBy("key").agg(count(lit(1)).as("n"))
+    // per-phase wall clocks, printed when GRAFT_LOOP_TIMING is set
+    val timing = sys.env.contains("GRAFT_LOOP_TIMING")
+    def timed[T](tag: String)(f: => T): T =
+      if (!timing) f else {
+        val tt0 = System.nanoTime(); val r = f
+        println(f"[iter $i] $tag%-16s ${(System.nanoTime() - tt0) / 1e9}%6.2f s"); r
+      }
+    // materialize the shared caches ONCE, uncontended, before the
+    // concurrent write batch: otherwise the first future to touch
+    // freshP pays the whole admission chain while eleven sibling jobs
+    // fight it for task slots
+    timed("s2_materialize") { freshP.count(); revisedP.count() }
     val newUrls = {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
-      val fDelta = Future {
+      val fDelta = Future { timed("w_req_delta") {
         // the requests delta, with its new-url count observed in the same
         // job (revised EFAKEFIRSTIP re-adds are re-shards, not new urls —
         // Spider.cpp:4279-4282 skips fakeFirstIp in m_totalNewSpiderRequests)
@@ -1609,8 +1625,8 @@ object Crawl {
           .drop("rev")
           .write.mode("overwrite").parquet(s"$d/requests_delta")
         Option(obsNew.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
-      }
-      val fBloom = Future {
+      } }
+      val fBloom = Future { timed("w_bloom") {
         // incremental seen-bloom maintenance: only touched buckets
         // rewritten, fed from the admitted rows
         SeenBloom.update(bloomTable,
@@ -1618,16 +1634,16 @@ object Crawl {
             .union(revisedP.map(r => java.lang.Long.valueOf(r.uh48))),
           cfg.seenBuckets, cfg.expectedSeenPerBucket, cfg.bloomFpp)
           .write.mode("overwrite").parquet(s"$d/seen_bloom")
-      }
-      val fCounts = Future {
+      } }
+      val fCounts = Future { timed("w_ip_counts") {
         // A8 state roll-forward: prior counts + this delta's counts
         ipCounts
           .unionByName(freshP.toDF().unionByName(revisedP.toDF())
             .groupBy("first_ip").agg(count(lit(1)).as("n")))
           .groupBy("first_ip").agg(sum(col("n")).as("n"))
           .write.mode("overwrite").parquet(s"$d/ip_counts")
-      }
-      val fIpNext = if (!so.wake) Seq.empty else Seq(Future {
+      } }
+      val fIpNext = if (!so.wake) Seq.empty else Seq(Future { timed("w_ip_next") {
         // A3 waiting-tree roll-forward, priority-layered upsert:
         //   prior entries (0) < due-but-now-empty IPs (1, sleep forever
         //   until touched — their rows were compacted away or F7/force-
@@ -1655,11 +1671,11 @@ object Crawl {
           .select(col("first_ip"), col("s.next_ms").as("next_ms"))
           .write.mode("overwrite").parquet(s"$d/ip_next")
         writeIpNextMarker(workdir, i, cfg)
-      })
+      } })
       val writes = fIpNext ++ Seq(
         fBloom, fCounts,
-        Future { repliesOf(results, replies, cfg, i).write.mode("overwrite").parquet(s"$d/replies_delta") },
-        Future { // O(delta) ip_state: prior rows of touched buckets only
+        Future { timed("w_replies") { repliesOf(results, replies, cfg, i).write.mode("overwrite").parquet(s"$d/replies_delta") } },
+        Future { timed("w_ip_state") { // O(delta) ip_state: prior rows of touched buckets only
           val keys = (df: DataFrame) => Seq(df("first_ip"))
           val touched = StateTable.touchedBuckets(ipUpdates.toDF(), keys, StateBuckets)
           val prior = StateTable.loadBuckets(spark, workdir, i - 1, "ip_state", keys,
@@ -1669,8 +1685,8 @@ object Crawl {
             .reduceGroups((a, b) => if (a.last_download_end_ms >= b.last_download_end_ms) a else b)
             .map(_._2)
           StateTable.writeDelta(merged.toDF(), Seq(col("first_ip")), StateBuckets, s"$d/ip_state")
-        },
-        Future { // O(delta) dom_state; this iteration's observation wins
+        } },
+        Future { timed("w_dom_state") { // O(delta) dom_state
           val keys = (df: DataFrame) => Seq(df("dom_hash32"))
           val touched = StateTable.touchedBuckets(domUpdates.toDF(), keys, StateBuckets)
           val prior = StateTable.loadBuckets(spark, workdir, i - 1, "dom_state", keys,
@@ -1681,8 +1697,8 @@ object Crawl {
             .agg(max(struct(col("stamp"), col("crawl_delay_ms"))).as("s"))
             .select(col("dom_hash32"), col("s.crawl_delay_ms").as("crawl_delay_ms"))
           StateTable.writeDelta(merged, Seq(col("dom_hash32")), StateBuckets, s"$d/dom_state")
-        },
-        Future { // O(delta) inlink_state (A7): the explode+re-agg runs
+        } },
+        Future { timed("w_inlink") { // O(delta) inlink_state (A7): the explode+re-agg runs
           // over touched buckets only — the r3 full-table explode is gone
           val keys = (df: DataFrame) => Seq(df("uh48"))
           val touched = StateTable.touchedBuckets(newPairs, keys, StateBuckets)
@@ -1694,8 +1710,8 @@ object Crawl {
             .groupBy("first_ip", "uh48")
             .agg(slice(sort_array(collect_set(col("cblock"))), 1, 20).as("cblocks"))
           StateTable.writeDelta(merged, Seq(col("uh48")), StateBuckets, s"$d/inlink_state")
-        },
-        Future { // O(delta) tag_state
+        } },
+        Future { timed("w_tag") { // O(delta) tag_state
           val keys = (df: DataFrame) => Seq(df("site_hash32"))
           val touched = StateTable.touchedBuckets(tagDelta.toDF(), keys, StateBuckets)
           val prior = StateTable.loadBuckets(spark, workdir, i - 1, "tag_state", keys,
@@ -1705,8 +1721,8 @@ object Crawl {
             .reduceGroups((a, b) => combineTags(a, b, cap))
             .map(_._2)
           StateTable.writeDelta(merged.toDF(), Seq(col("site_hash32")), StateBuckets, s"$d/tag_state")
-        },
-        Future { // O(delta) quota_state (A6)
+        } },
+        Future { timed("w_quota") { // O(delta) quota_state (A6)
           val keys = (df: DataFrame) => Seq(df("key"))
           val touched = StateTable.touchedBuckets(quotaDelta, keys, StateBuckets)
           val prior = StateTable.loadBuckets(spark, workdir, i - 1, "quota_state", keys,
@@ -1714,8 +1730,8 @@ object Crawl {
           val merged = prior.unionByName(quotaDelta)
             .groupBy("key").agg(sum(col("n")).as("n"))
           StateTable.writeDelta(merged, Seq(col("key")), StateBuckets, s"$d/quota_state")
-        },
-        Future {
+        } },
+        Future { timed("w_titledb") {
           // S7: titledb sink — the crawled-content snapshot (Titledb.cpp
           // titleRec analogue): raw bytes + extracted text per fetched
           // url, appended as a delta; compaction keeps latest per uh48
@@ -1724,7 +1740,7 @@ object Crawl {
               r.httpStatus, r.lang, r.contentHash32, r.html, r.extractedText,
               if (r.sampleVec == null) Array.empty[Int] else r.sampleVec))
             .write.mode("overwrite").parquet(s"$d/titledb_delta")
-        }
+        } }
       )
       Await.result(Future.sequence(writes), Duration.Inf)
       Await.result(fDelta, Duration.Inf)

@@ -47,7 +47,7 @@ object StateTable {
     * table writes no bucket dirs — just the marker — and loads as
     * empty. */
   def writeFull(df: DataFrame, keys: Seq[Column], buckets: Int, dir: String): Unit = {
-    df.withColumn("bucket", bucketCol(keys, buckets))
+    bucketed(df, keys, buckets)
       .write.partitionBy("bucket").mode("overwrite").parquet(dir)
     new java.io.File(dir).mkdirs() // empty table → no task output dirs
     fullMarker(dir).createNewFile()
@@ -57,8 +57,18 @@ object StateTable {
     * buckets, already carrying their complete merged contents) appear
     * in this snapshot. */
   def writeDelta(merged: DataFrame, keys: Seq[Column], buckets: Int, dir: String): Unit =
-    merged.withColumn("bucket", bucketCol(keys, buckets))
+    bucketed(merged, keys, buckets)
       .write.partitionBy("bucket").mode("overwrite").parquet(dir)
+
+  /** Clustering the write by bucket id gives ONE file per bucket dir
+    * (instead of one per task × bucket): the loader's cost is paths ×
+    * files, and a chain of N delta snapshots × B buckets × T tasks of
+    * tiny files was the measured fixed cost of the micro loop. A bucket
+    * is one task's worth of rows at any scale — that is what B sizes. */
+  private def bucketed(df: DataFrame, keys: Seq[Column], buckets: Int): DataFrame = {
+    val b = df.withColumn("bucket", bucketCol(keys, buckets))
+    b.repartition(col("bucket"))
+  }
 
   private def bucketDirs(dir: java.io.File): Array[java.io.File] = {
     val fs = dir.listFiles()
@@ -119,11 +129,18 @@ object StateTable {
                   keys: DataFrame => Seq[Column], buckets: Int, empty: => DataFrame,
                   wanted: Option[Set[Int]]): DataFrame = {
     val (paths, legacy) = resolve(workdir, i, name, wanted)
+    // explicit schema (from `empty`): file-listing stays, but the
+    // footer-reading schema-inference job per load goes away — the
+    // chains produce many small leaf dirs by design
+    def reader = {
+      val e = empty
+      if (e != null) spark.read.schema(e.schema) else spark.read
+    }
     val parts = scala.collection.mutable.ListBuffer[DataFrame]()
     if (paths.nonEmpty)
-      parts += spark.read.parquet(paths: _*)
+      parts += reader.parquet(paths: _*)
     legacy.foreach { case (dir, shadowed) =>
-      var df = spark.read.parquet(dir)
+      var df = reader.parquet(dir)
       if (shadowed.nonEmpty)
         df = df.filter(!bucketCol(keys(df), buckets).isInCollection(shadowed))
       wanted.foreach(w => df = df.filter(bucketCol(keys(df), buckets).isInCollection(w)))

@@ -17,6 +17,21 @@ object GraftShim {
   def logicalPlan(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
 
+  /** Lineage cut: a new DataFrame whose logical plan is a LogicalRDD
+    * leaf over `df`'s physical RDD (lazy — nothing executes here; the
+    * RDD reads df's cache once df is persisted+materialized). Carried
+    * crawl state chains generations of plans into one tree; Catalyst
+    * stringifies plans eagerly when building InMemoryRelations, and an
+    * exponentially-shared tree OOMs the driver on pure plan TEXT. Same
+    * trick as Dataset.checkpoint's internals. */
+  def cutLineage(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[classic.Dataset[_]]
+    val session = cdf.sparkSession
+    val rdd = cdf.queryExecution.toRdd
+    classic.Dataset.ofRows(session,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(rdd, cdf, isStreaming = false))
+  }
+
   /** Idempotently add a planning strategy to the session
     * (ExperimentalMethods lives on the classic session). */
   def registerStrategy(spark: SparkSession, s: org.apache.spark.sql.execution.SparkStrategy): Unit = {
