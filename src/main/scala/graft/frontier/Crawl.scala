@@ -1179,14 +1179,41 @@ object Crawl {
     definitelyNew.union(checked)
   }
 
-  /** Load the snapshot's seen-bloom table, rebuilding it from the
-    * request uh48s if absent (resume from a pre-bloom snapshot). */
+  private val bloomSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("bloom", org.apache.spark.sql.types.BinaryType)))
+
+  /** Load the seen-bloom table as of snapshot i, resolving its LSM
+    * chain: an iteration writes ONLY the touched buckets' rebuilt blooms
+    * (a `_GRAFT_DELTA`-marked dir), so the loader walks newest-first
+    * taking the newest version of each bucket and stops at the nearest
+    * full table (marker-less: init/compaction/injection rewrites — and
+    * every pre-chain snapshot, which wrote full). Compaction bounds the
+    * chain length, exactly like the keyed StateTable chains. Rebuilds
+    * from the request uh48s if no bloom exists at all (resume from a
+    * pre-bloom snapshot). */
   def loadBloom(spark: SparkSession, workdir: String, i: Int, cfg: Config): DataFrame = {
     import spark.implicits._
-    val path = s"${snapDir(workdir, i)}/seen_bloom"
-    if (new java.io.File(path).exists) spark.read.parquet(path)
-    else SeenBloom.build(loadRequests(spark, workdir, i).select("uh48").as[java.lang.Long],
-      cfg.seenBuckets, cfg.expectedSeenPerBucket, cfg.bloomFpp)
+    val dirs = scala.collection.mutable.ListBuffer[(String, Int)]()
+    var k = i
+    var done = false
+    while (k >= 0 && !done) {
+      val p = s"${snapDir(workdir, k)}/seen_bloom"
+      if (new java.io.File(p).exists) {
+        dirs += ((p, k))
+        done = !new java.io.File(p, "_GRAFT_DELTA").exists
+      }
+      k -= 1
+    }
+    if (dirs.isEmpty)
+      SeenBloom.build(loadRequests(spark, workdir, i).select("uh48").as[java.lang.Long],
+        cfg.seenBuckets, cfg.expectedSeenPerBucket, cfg.bloomFpp)
+    else if (dirs.size == 1) spark.read.schema(bloomSchema).parquet(dirs.head._1)
+    else dirs.map { case (p, ord) =>
+        spark.read.schema(bloomSchema).parquet(p).withColumn("ord", lit(ord))
+      }
+      .reduce(_ unionByName _)
+      .groupBy("bucket").agg(max_by(col("bloom"), col("ord")).as("bloom"))
   }
 
   /** Build replies from fetch results, carrying the reply-side analysis
@@ -1305,11 +1332,14 @@ object Crawl {
       .agg(max(struct(col("spidered_time"), col("sample_vec"))).as("s"))
       .select(col("uh48"), col("s.sample_vec").as("sample_vec"))
 
-  /** Bucket count for the keyed state tables (StateTable LSM chains).
-    * Fixed per workdir — changing it needs a compaction (full rewrite).
-    * Sized so a bucket is one comfortable task; a cluster deployment
-    * raises it with the state volume. */
-  val StateBuckets = 64
+  /** Bucket count for a keyed state table's LSM chain, read from the
+    * chain's own full marker (StateTable.bucketsOf): chosen per table at
+    * compaction time from its on-disk size, so a micro-loop table is a
+    * single bucket (one file, one task) while a 10^10-url inlink_state
+    * gets thousands. Changing the count happens only at writeFull
+    * (compaction), which also records it. */
+  private def stateBuckets(workdir: String, i: Int, name: String): Int =
+    StateTable.bucketsOf(workdir, i, name)
 
   /** Inlink c-block state as of snapshot i (empty for pre-inlink
     * snapshots so resume keeps working). O(delta) maintained: only the
@@ -1317,21 +1347,21 @@ object Crawl {
   def loadInlinkState(spark: SparkSession, workdir: String, i: Int): Dataset[InlinkState] = {
     import spark.implicits._
     StateTable.load(spark, workdir, i, "inlink_state", df => Seq(df("uh48")),
-      StateBuckets, spark.emptyDataset[InlinkState].toDF).as[InlinkState]
+      stateBuckets(workdir, i, "inlink_state"), spark.emptyDataset[InlinkState].toDF).as[InlinkState]
   }
 
   /** Politeness state (per-IP last download end) as of snapshot i. */
   def loadIpState(spark: SparkSession, workdir: String, i: Int): Dataset[IpState] = {
     import spark.implicits._
     StateTable.load(spark, workdir, i, "ip_state", df => Seq(df("first_ip")),
-      StateBuckets, spark.emptyDataset[IpState].toDF).as[IpState]
+      stateBuckets(workdir, i, "ip_state"), spark.emptyDataset[IpState].toDF).as[IpState]
   }
 
   /** Per-domain robots crawl-delay state as of snapshot i. */
   def loadDomState(spark: SparkSession, workdir: String, i: Int): Dataset[DomState] = {
     import spark.implicits._
     StateTable.load(spark, workdir, i, "dom_state", df => Seq(df("dom_hash32")),
-      StateBuckets, spark.emptyDataset[DomState].toDF).as[DomState]
+      stateBuckets(workdir, i, "dom_state"), spark.emptyDataset[DomState].toDF).as[DomState]
   }
 
   /** A6 quota state (the reference's scan-built m_localTable,
@@ -1344,7 +1374,7 @@ object Crawl {
   def loadQuotaState(spark: SparkSession, workdir: String, i: Int): DataFrame = {
     import spark.implicits._
     StateTable.load(spark, workdir, i, "quota_state", df => Seq(df("key")),
-      StateBuckets, spark.emptyDataset[(Int, Long)].toDF("key", "n"))
+      stateBuckets(workdir, i, "quota_state"), spark.emptyDataset[(Int, Long)].toDF("key", "n"))
   }
 
   /** Minimal tagdb (see [[TagState]]): keyed by the SiteGetter site
@@ -1353,7 +1383,7 @@ object Crawl {
   def loadTagState(spark: SparkSession, workdir: String, i: Int): Dataset[TagState] = {
     import spark.implicits._
     StateTable.load(spark, workdir, i, "tag_state", df => Seq(df("site_hash32")),
-      StateBuckets, spark.emptyDataset[TagState].toDF).as[TagState]
+      stateBuckets(workdir, i, "tag_state"), spark.emptyDataset[TagState].toDF).as[TagState]
   }
 
   /** A8 state: exact per-IP request counts as of snapshot i, maintained
@@ -1627,13 +1657,23 @@ object Crawl {
         Option(obsNew.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
       } }
       val fBloom = Future { timed("w_bloom") {
-        // incremental seen-bloom maintenance: only touched buckets
-        // rewritten, fed from the admitted rows
+        // incremental seen-bloom maintenance, O(new urls) I/O: ONLY the
+        // touched buckets' rebuilt blooms are written forward as this
+        // snapshot's chain delta; untouched buckets are not even copied
+        // (loadBloom resolves the chain; compaction resets it). On a
+        // pre-bloom resume the chain has nothing persisted — the loaded
+        // table was rebuilt in memory, so a delta would orphan its
+        // untouched buckets (bloom false NEGATIVES skip the exact
+        // anti-join): write the one-time full instead.
+        val chainHasBloom = (0 until i)
+          .exists(k => new java.io.File(s"${snapDir(workdir, k)}/seen_bloom").exists)
         SeenBloom.update(bloomTable,
           freshP.map(r => java.lang.Long.valueOf(r.uh48))
             .union(revisedP.map(r => java.lang.Long.valueOf(r.uh48))),
-          cfg.seenBuckets, cfg.expectedSeenPerBucket, cfg.bloomFpp)
+          cfg.seenBuckets, cfg.expectedSeenPerBucket, cfg.bloomFpp, deltaOnly = chainHasBloom)
           .write.mode("overwrite").parquet(s"$d/seen_bloom")
+        if (chainHasBloom) java.nio.file.Files.write(
+          new java.io.File(s"$d/seen_bloom", "_GRAFT_DELTA").toPath, Array.empty[Byte])
       } }
       val fCounts = Future { timed("w_ip_counts") {
         // A8 state roll-forward: prior counts + this delta's counts
@@ -1677,59 +1717,64 @@ object Crawl {
         Future { timed("w_replies") { repliesOf(results, replies, cfg, i).write.mode("overwrite").parquet(s"$d/replies_delta") } },
         Future { timed("w_ip_state") { // O(delta) ip_state: prior rows of touched buckets only
           val keys = (df: DataFrame) => Seq(df("first_ip"))
-          val touched = StateTable.touchedBuckets(ipUpdates.toDF(), keys, StateBuckets)
+          val b = stateBuckets(workdir, i - 1, "ip_state")
+          val touched = StateTable.touchedBuckets(ipUpdates.toDF(), keys, b)
           val prior = StateTable.loadBuckets(spark, workdir, i - 1, "ip_state", keys,
-            StateBuckets, spark.emptyDataset[IpState].toDF(), Some(touched)).as[IpState]
+            b, spark.emptyDataset[IpState].toDF(), Some(touched)).as[IpState]
           val merged = prior.union(ipUpdates)
             .groupByKey(_.first_ip)
             .reduceGroups((a, b) => if (a.last_download_end_ms >= b.last_download_end_ms) a else b)
             .map(_._2)
-          StateTable.writeDelta(merged.toDF(), Seq(col("first_ip")), StateBuckets, s"$d/ip_state")
+          StateTable.writeDelta(merged.toDF(), Seq(col("first_ip")), b, s"$d/ip_state")
         } },
         Future { timed("w_dom_state") { // O(delta) dom_state
           val keys = (df: DataFrame) => Seq(df("dom_hash32"))
-          val touched = StateTable.touchedBuckets(domUpdates.toDF(), keys, StateBuckets)
+          val b = stateBuckets(workdir, i - 1, "dom_state")
+          val touched = StateTable.touchedBuckets(domUpdates.toDF(), keys, b)
           val prior = StateTable.loadBuckets(spark, workdir, i - 1, "dom_state", keys,
-            StateBuckets, spark.emptyDataset[DomState].toDF(), Some(touched))
+            b, spark.emptyDataset[DomState].toDF(), Some(touched))
           val merged = prior.withColumn("stamp", lit(0))
             .unionByName(domUpdates.toDF().withColumn("stamp", lit(1)))
             .groupBy("dom_hash32")
             .agg(max(struct(col("stamp"), col("crawl_delay_ms"))).as("s"))
             .select(col("dom_hash32"), col("s.crawl_delay_ms").as("crawl_delay_ms"))
-          StateTable.writeDelta(merged, Seq(col("dom_hash32")), StateBuckets, s"$d/dom_state")
+          StateTable.writeDelta(merged, Seq(col("dom_hash32")), b, s"$d/dom_state")
         } },
         Future { timed("w_inlink") { // O(delta) inlink_state (A7): the explode+re-agg runs
           // over touched buckets only — the r3 full-table explode is gone
           val keys = (df: DataFrame) => Seq(df("uh48"))
-          val touched = StateTable.touchedBuckets(newPairs, keys, StateBuckets)
+          val b = stateBuckets(workdir, i - 1, "inlink_state")
+          val touched = StateTable.touchedBuckets(newPairs, keys, b)
           val prior = StateTable.loadBuckets(spark, workdir, i - 1, "inlink_state", keys,
-            StateBuckets, spark.emptyDataset[InlinkState].toDF(), Some(touched))
+            b, spark.emptyDataset[InlinkState].toDF(), Some(touched))
           val merged = prior
             .select(col("first_ip"), col("uh48"), explode(col("cblocks")).as("cblock"))
             .unionByName(newPairs)
             .groupBy("first_ip", "uh48")
             .agg(slice(sort_array(collect_set(col("cblock"))), 1, 20).as("cblocks"))
-          StateTable.writeDelta(merged, Seq(col("uh48")), StateBuckets, s"$d/inlink_state")
+          StateTable.writeDelta(merged, Seq(col("uh48")), b, s"$d/inlink_state")
         } },
         Future { timed("w_tag") { // O(delta) tag_state
           val keys = (df: DataFrame) => Seq(df("site_hash32"))
-          val touched = StateTable.touchedBuckets(tagDelta.toDF(), keys, StateBuckets)
+          val b = stateBuckets(workdir, i - 1, "tag_state")
+          val touched = StateTable.touchedBuckets(tagDelta.toDF(), keys, b)
           val prior = StateTable.loadBuckets(spark, workdir, i - 1, "tag_state", keys,
-            StateBuckets, spark.emptyDataset[TagState].toDF(), Some(touched)).as[TagState]
+            b, spark.emptyDataset[TagState].toDF(), Some(touched)).as[TagState]
           val merged = prior.union(tagDelta)
             .groupByKey(_.site_hash32)
             .reduceGroups((a, b) => combineTags(a, b, cap))
             .map(_._2)
-          StateTable.writeDelta(merged.toDF(), Seq(col("site_hash32")), StateBuckets, s"$d/tag_state")
+          StateTable.writeDelta(merged.toDF(), Seq(col("site_hash32")), b, s"$d/tag_state")
         } },
         Future { timed("w_quota") { // O(delta) quota_state (A6)
           val keys = (df: DataFrame) => Seq(df("key"))
-          val touched = StateTable.touchedBuckets(quotaDelta, keys, StateBuckets)
+          val b = stateBuckets(workdir, i - 1, "quota_state")
+          val touched = StateTable.touchedBuckets(quotaDelta, keys, b)
           val prior = StateTable.loadBuckets(spark, workdir, i - 1, "quota_state", keys,
-            StateBuckets, spark.emptyDataset[(Int, Long)].toDF("key", "n"), Some(touched))
+            b, spark.emptyDataset[(Int, Long)].toDF("key", "n"), Some(touched))
           val merged = prior.unionByName(quotaDelta)
             .groupBy("key").agg(sum(col("n")).as("n"))
-          StateTable.writeDelta(merged, Seq(col("key")), StateBuckets, s"$d/quota_state")
+          StateTable.writeDelta(merged, Seq(col("key")), b, s"$d/quota_state")
         } },
         Future { timed("w_titledb") {
           // S7: titledb sink — the crawled-content snapshot (Titledb.cpp
@@ -1829,9 +1874,15 @@ object Crawl {
         ("inlink_state", "uh48")).map { case (name, key) =>
         Future {
           val cur = StateTable.load(spark, workdir, i, name, df => Seq(df(key)),
-            StateBuckets, null) // null only if the chain is empty (pre-state workdir)
-          if (cur != null)
-            StateTable.writeFull(cur, Seq(col(key)), StateBuckets, s"$d/${name}_full_tmp")
+            stateBuckets(workdir, i, name), null) // null only if the chain is empty (pre-state workdir)
+          if (cur != null) {
+            // re-size the bucket count to the chain's measured bytes: the
+            // full write records it, so the next chain's deltas and loads
+            // inherit it (a grown table gets more buckets here, a
+            // compacted-away one shrinks back toward 1)
+            val nb = StateTable.bucketsForBytes(StateTable.chainBytes(workdir, i, name))
+            StateTable.writeFull(cur, Seq(col(key)), nb, s"$d/${name}_full_tmp")
+          }
         }
       }
       Await.result(Future.sequence(Seq(fReq, fRep, fTitle) ++ fStates), Duration.Inf)
@@ -1876,11 +1927,13 @@ object Crawl {
     spark.emptyDataset[FrontierReply].write.mode("overwrite").parquet(s"$d/replies")
     // keyed state tables: bucketed full writes (chain terminators for
     // the StateTable LSM loads; empty → marker-only dirs)
-    StateTable.writeFull(spark.emptyDataset[IpState].toDF(), Seq(col("first_ip")), StateBuckets, s"$d/ip_state")
-    StateTable.writeFull(spark.emptyDataset[DomState].toDF(), Seq(col("dom_hash32")), StateBuckets, s"$d/dom_state")
-    StateTable.writeFull(spark.emptyDataset[TagState].toDF(), Seq(col("site_hash32")), StateBuckets, s"$d/tag_state")
-    StateTable.writeFull(spark.emptyDataset[(Int, Long)].toDF("key", "n"), Seq(col("key")), StateBuckets, s"$d/quota_state")
-    StateTable.writeFull(spark.emptyDataset[InlinkState].toDF(), Seq(col("uh48")), StateBuckets, s"$d/inlink_state")
+    // empty chains start at ONE bucket (one file, one task per write);
+    // the first compaction after growth re-sizes from measured bytes
+    StateTable.writeFull(spark.emptyDataset[IpState].toDF(), Seq(col("first_ip")), 1, s"$d/ip_state")
+    StateTable.writeFull(spark.emptyDataset[DomState].toDF(), Seq(col("dom_hash32")), 1, s"$d/dom_state")
+    StateTable.writeFull(spark.emptyDataset[TagState].toDF(), Seq(col("site_hash32")), 1, s"$d/tag_state")
+    StateTable.writeFull(spark.emptyDataset[(Int, Long)].toDF("key", "n"), Seq(col("key")), 1, s"$d/quota_state")
+    StateTable.writeFull(spark.emptyDataset[InlinkState].toDF(), Seq(col("uh48")), 1, s"$d/inlink_state")
     spark.emptyDataset[TitleRow].write.mode("overwrite").parquet(s"$d/titledb")
     // A3: all seed IPs are immediately due
     spark.read.parquet(s"$d/requests").select("first_ip").distinct()

@@ -48,31 +48,35 @@ object SeenBloom {
       .toDF("bucket", "bloom")
   }
 
-  /** Incrementally add fresh uh48s: only touched buckets are rewritten. */
+  /** Incrementally add fresh uh48s. ONE cogroup on the bucket key (the
+    * r3 shape was distinct + anti-join + semi-join + outer-join +
+    * mapGroups — five shuffling operators whose job/stage fixed costs
+    * dominated the micro loop's write barrier).
+    *
+    * `deltaOnly = true` emits ONLY the touched buckets' rebuilt blooms
+    * (the bloom LSM-delta the iteration writes forward — untouched
+    * buckets are not even copied, making bloom maintenance O(new urls)
+    * I/O like every other state chain); `false` passes untouched
+    * buckets through, returning the complete table. */
   def update(bloomTable: DataFrame, fresh: Dataset[java.lang.Long], buckets: Int,
-             expectedPerBucket: Long, fpp: Double): DataFrame = {
+             expectedPerBucket: Long, fpp: Double, deltaOnly: Boolean = false): DataFrame = {
     val spark = bloomTable.sparkSession
     import spark.implicits._
-    val freshKeyed = fresh.map(h => (bucketOf(h, buckets), h.longValue())).toDF("bucket", "uh48")
-    val touched = freshKeyed.select("bucket").distinct()
-    val untouched = bloomTable.join(touched, Seq("bucket"), "left_anti")
-    val rewritten = bloomTable.join(touched, Seq("bucket"), "left_semi")
-      .join(freshKeyed, Seq("bucket"), "right_outer") // bucket may be brand new
-      .select(col("bucket"), col("bloom"), col("uh48"))
-      .groupByKey(r => r.getInt(0))(org.apache.spark.sql.Encoders.scalaInt)
-      .mapGroups { (bucket, rows) =>
-        var bf: BloomFilter = null
-        val pending = new scala.collection.mutable.ArrayBuffer[Long]
-        rows.foreach { r =>
-          if (bf == null && !r.isNullAt(1)) bf = deser(r.getAs[Array[Byte]](1))
-          if (!r.isNullAt(2)) pending += r.getLong(2)
-        }
-        if (bf == null) bf = BloomFilter.create(math.max(expectedPerBucket, 1000L), fpp)
+    val freshKeyed = fresh.map(h => (bucketOf(h, buckets), h.longValue()))
+    val bloomKeyed = bloomTable.as[(Int, Array[Byte])].groupByKey(_._1)
+    freshKeyed.groupByKey(_._1).cogroup(bloomKeyed) { (bucket, hs, blooms) =>
+      val pending = hs.map(_._2).toArray
+      val existing = blooms.buffered.headOption
+      if (pending.isEmpty) {
+        if (deltaOnly || existing.isEmpty) Iterator.empty
+        else Iterator.single((bucket, existing.get._2)) // untouched pass-through
+      } else {
+        val bf = existing.map(b => deser(b._2))
+          .getOrElse(BloomFilter.create(math.max(expectedPerBucket, 1000L), fpp))
         pending.foreach(bf.putLong)
-        (bucket, ser(bf))
+        Iterator.single((bucket, ser(bf)))
       }
-      .toDF("bucket", "bloom")
-    untouched.unionByName(rewritten)
+    }.toDF("bucket", "bloom")
   }
 
   /** Tag candidates with bloom membership via cogroup on the bucket key:

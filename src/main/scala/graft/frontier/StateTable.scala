@@ -43,6 +43,56 @@ object StateTable {
 
   private def fullMarker(dir: String) = new java.io.File(dir, "_GRAFT_FULL")
 
+  /** Bucket count used when a chain has no recorded count (r3 layout,
+    * whose `_GRAFT_FULL` markers are empty, and legacy loose-file
+    * fulls). Matches the old fixed `Crawl.StateBuckets`. */
+  val LegacyBuckets = 64
+
+  /** One bucket is one task's worth of rows — so the COUNT must follow
+    * the table's size, not a constant: a 100-row micro-loop table wants
+    * 1 bucket (the r4 profile showed 64 near-empty partitions per write
+    * and 64-path scans per load dominating the micro loop), while a
+    * 10^10-url inlink_state wants thousands. Chosen at full-write
+    * (init / compaction) time from the chain's on-disk bytes and
+    * recorded in the `_GRAFT_FULL` marker; deltas and loads read it
+    * from there, so bucket ids stay stable between compactions. */
+  def bucketsForBytes(bytes: Long): Int = {
+    val target = 32L * 1024 * 1024 // ~32 MB of parquet per bucket
+    math.max(1L, math.min(65536L, (bytes + target - 1) / target)).toInt
+  }
+
+  /** Driver-side on-disk size of the table's live chain (file metadata
+    * only — no jobs). Sizes the NEXT compaction's bucket count. */
+  def chainBytes(workdir: String, i: Int, name: String): Long = {
+    val (paths, legacy) = resolve(workdir, i, name, None)
+    def dirBytes(p: String): Long = {
+      val fs = new java.io.File(p).listFiles()
+      if (fs == null) 0L else fs.filter(_.isFile).map(_.length).sum
+    }
+    paths.map(dirBytes).sum + legacy.map(l => dirBytes(l._1)).sum
+  }
+
+  /** The chain's bucket count as of snapshot i: recorded in the nearest
+    * full marker at or below i. */
+  def bucketsOf(workdir: String, i: Int, name: String): Int = {
+    var k = i
+    while (k >= 0) {
+      val dir = new java.io.File(s"${Crawl.snapDir(workdir, k)}/$name")
+      if (dir.exists) {
+        val m = fullMarker(dir.getPath)
+        if (m.exists()) {
+          val txt = new String(java.nio.file.Files.readAllBytes(m.toPath)).trim
+          return if (txt.isEmpty) LegacyBuckets else txt.toInt
+        }
+        val fs = dir.listFiles()
+        if (fs != null && fs.exists(f => f.isFile && f.getName.startsWith("part-")))
+          return LegacyBuckets // legacy loose-file full table
+      }
+      k -= 1
+    }
+    LegacyBuckets
+  }
+
   /** Full write (init / compaction): all buckets, chain reset. An empty
     * table writes no bucket dirs — just the marker — and loads as
     * empty. */
@@ -50,7 +100,8 @@ object StateTable {
     bucketed(df, keys, buckets)
       .write.partitionBy("bucket").mode("overwrite").parquet(dir)
     new java.io.File(dir).mkdirs() // empty table → no task output dirs
-    fullMarker(dir).createNewFile()
+    java.nio.file.Files.write(fullMarker(dir).toPath,
+      buckets.toString.getBytes("UTF-8"))
   }
 
   /** Delta write: only the buckets present in `merged` (= the touched
@@ -151,8 +202,12 @@ object StateTable {
   }
 
   /** The touched bucket ids of a delta (one tiny job on the — cached —
-    * delta source; the driver needs the ids for path-level pruning). */
+    * delta source; the driver needs the ids for path-level pruning).
+    * With a single bucket there is nothing to prune — skip the job
+    * (the merge then rewrites the whole — tiny — table, which is what
+    * a 1-bucket table means). */
   def touchedBuckets(delta: DataFrame, keys: DataFrame => Seq[Column], buckets: Int): Set[Int] = {
+    if (buckets == 1) return Set(0)
     import org.apache.spark.sql.Encoders
     delta.select(bucketCol(keys(delta), buckets).as("b")).distinct()
       .as[Int](Encoders.scalaInt).collect().toSet
