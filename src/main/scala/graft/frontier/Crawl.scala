@@ -1453,14 +1453,23 @@ object Crawl {
                    hostMeta: Dataset[HostMeta], cfg: Config,
                    redirClosure: DataFrame = null): IterationResult = {
     import spark.implicits._
+    // per-phase wall clocks, printed when GRAFT_LOOP_TIMING is set
+    val timing = sys.env.contains("GRAFT_LOOP_TIMING")
+    def timed[T](tag: String)(f: => T): T =
+      if (!timing) f else {
+        val tt0 = System.nanoTime(); val r = f
+        println(f"[iter $i] $tag%-16s ${(System.nanoTime() - tt0) / 1e9}%6.2f s"); r
+      }
     val prev = snapDir(workdir, i - 1)
-    val requests = loadRequests(spark, workdir, i - 1)
-    val replies = loadReplies(spark, workdir, i - 1)
-    val ipState = loadIpState(spark, workdir, i - 1)
-    val domState = loadDomState(spark, workdir, i - 1)
-    val inlinks = loadInlinkState(spark, workdir, i - 1)
-    val tagState = loadTagState(spark, workdir, i - 1)
-    val quotaState = loadQuotaState(spark, workdir, i - 1)
+    val (requests, replies, ipState, domState, inlinks, tagState, quotaState) = timed("s0_loads") {
+      (loadRequests(spark, workdir, i - 1),
+        loadReplies(spark, workdir, i - 1),
+        loadIpState(spark, workdir, i - 1),
+        loadDomState(spark, workdir, i - 1),
+        loadInlinkState(spark, workdir, i - 1),
+        loadTagState(spark, workdir, i - 1),
+        loadQuotaState(spark, workdir, i - 1))
+    }
 
     val t0 = System.currentTimeMillis()
     val d = snapDir(workdir, i)
@@ -1478,28 +1487,44 @@ object Crawl {
     // it so the batch consumer (fetch) and the ip_next roll-forward
     // don't recompute the frontier scan.
     val ipNextPrev = loadIpNext(spark, workdir, i - 1, cfg)
-    val so = scheduleWake(requests, replies, ipState, domState, cfg, i, inlinks, quotaState, ipNextPrev)
-    val doleOut = so.dole.persist(StorageLevel.MEMORY_AND_DISK)
+    val so = timed("s0_sched_plan") {
+      scheduleWake(requests, replies, ipState, domState, cfg, i, inlinks, quotaState, ipNextPrev)
+    }
+    // persist + lineage cut: the cut view's plan is a LogicalRDD leaf
+    // reading the cache, so downstream operator construction (Catalyst
+    // analyzes EAGERLY per transformation) stops re-walking the
+    // schedule tree, whose compiled rule table is a very large
+    // expression — measured ~5 s/iteration of pure driver-side
+    // analysis in the admission section, and about as much again
+    // spread over the stage-2 futures. Blocks evicted under pressure
+    // recompute through the InMemoryRelation as usual.
+    val doleOutP = so.dole.persist(StorageLevel.MEMORY_AND_DISK)
+    val doleOut = org.apache.spark.sql.GraftShim.cutLineage(doleOutP)
     val batch = doleOut.filter(col("seq_in_ip") >= 0).as[FetchTask]
     // old-doc sample vectors for percentChanged — slim titledb projection
     val oldVecs = loadTitleVecs(spark, workdir, i - 1)
-    val results = fetch(batch, pages, robots, cfg, i, redirClosure, oldVecs)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (resultsP, results) = timed("s0_fetch_plan") {
+      val p = fetch(batch, pages, robots, cfg, i, redirClosure, oldVecs)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      (p, org.apache.spark.sql.GraftShim.cutLineage(p.toDF).as[FetchResult])
+    }
 
     // STAGE 1 (job 1): fetch_log write with the outcome counters FUSED
     // into the same job via observe() — no separate stats pass
     val obsLog = org.apache.spark.sql.Observation()
-    results
-      .map(r => (i, r.task.first_ip, r.task.seq_in_ip, r.task.url, r.task.priority, r.errCode, r.outlinks.size))
-      .toDF("iteration", "first_ip", "seq", "url", "priority", "err_code", "n_out")
-      .observe(obsLog,
-        count(lit(1)).as("scheduled"),
-        sum(when(col("err_code") === lit(Errs.OK), 1L).otherwise(0L)).as("fetched"),
-        sum(when(col("err_code") === lit(Errs.EDOCDISALLOWED), 1L).otherwise(0L)).as("robots_denied"),
-        coalesce(sum(col("n_out").cast("long")), lit(0L)).as("outs"))
-      .drop("n_out")
-      .write.mode("overwrite").parquet(s"$d/fetch_log")
-    val mLog = obsLog.get
+    timed("s1_fetch_log") {
+      results
+        .map(r => (i, r.task.first_ip, r.task.seq_in_ip, r.task.url, r.task.priority, r.errCode, r.outlinks.size))
+        .toDF("iteration", "first_ip", "seq", "url", "priority", "err_code", "n_out")
+        .observe(obsLog,
+          count(lit(1)).as("scheduled"),
+          sum(when(col("err_code") === lit(Errs.OK), 1L).otherwise(0L)).as("fetched"),
+          sum(when(col("err_code") === lit(Errs.EDOCDISALLOWED), 1L).otherwise(0L)).as("robots_denied"),
+          coalesce(sum(col("n_out").cast("long")), lit(0L)).as("outs"))
+        .drop("n_out")
+        .write.mode("overwrite").parquet(s"$d/fetch_log")
+    }
+    val mLog = timed("s1_obs_get") { obsLog.get }
     val scheduled = mLog("scheduled").asInstanceOf[Long]
     val fetched = Option(mLog("fetched")).map(_.asInstanceOf[Long]).getOrElse(0L)
     val robotsDenied = Option(mLog("robots_denied")).map(_.asInstanceOf[Long]).getOrElse(0L)
@@ -1508,8 +1533,10 @@ object Crawl {
 
     // J5: resolve outlink hosts via the host_meta + tagdb joins, then
     // drop those landing on overflowed IPs (A8)
-    val resolved = resolveOutlinks(results, hostMeta, tagState)
+    val sAdmitPlan0 = System.nanoTime()
+    val resolvedP = resolveOutlinks(results, hostMeta, tagState)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val resolved = org.apache.spark.sql.GraftShim.cutLineage(resolvedP.toDF).as[ResolvedOutlink]
     val candidates = resolved.map(_.req)
       .join(overflowIps.withColumnRenamed("first_ip", "of_ip"), col("first_ip") === col("of_ip"), "left_anti")
       .as[FrontierRequest]
@@ -1615,8 +1642,10 @@ object Crawl {
     // delta→{bloom, counts} ordering edge is gone, leaving exactly one
     // job barrier after fetch_log. Per-iteration fixed cost is the
     // full-loop bottleneck at small batch sizes (VERDICT r1/r2).
-    val freshP = fresh.persist(StorageLevel.MEMORY_AND_DISK)
-    val revisedP = revised.persist(StorageLevel.MEMORY_AND_DISK)
+    val freshP0 = fresh.persist(StorageLevel.MEMORY_AND_DISK)
+    val freshP = org.apache.spark.sql.GraftShim.cutLineage(freshP0.toDF).as[FrontierRequest]
+    val revisedP0 = revised.persist(StorageLevel.MEMORY_AND_DISK)
+    val revisedP = org.apache.spark.sql.GraftShim.cutLineage(revisedP0.toDF).as[FrontierRequest]
     // manual-add seed keys derive from the PERSISTED revised rows: the
     // quota delta is evaluated more than once (touched buckets + merge)
     // and the unpersisted `revised` would recompute resolveRevised's
@@ -1628,19 +1657,13 @@ object Crawl {
         col("dom_hash32").bitwiseXOR(lit(0x123456)))).as("key"))
     val quotaDelta = indexedKeys.unionByName(manualKeys)
       .groupBy("key").agg(count(lit(1)).as("n"))
-    // per-phase wall clocks, printed when GRAFT_LOOP_TIMING is set
-    val timing = sys.env.contains("GRAFT_LOOP_TIMING")
-    def timed[T](tag: String)(f: => T): T =
-      if (!timing) f else {
-        val tt0 = System.nanoTime(); val r = f
-        println(f"[iter $i] $tag%-16s ${(System.nanoTime() - tt0) / 1e9}%6.2f s"); r
-      }
+    if (timing) println(f"[iter $i] s1_admit_plan    ${(System.nanoTime() - sAdmitPlan0) / 1e9}%6.2f s")
     // materialize the shared caches ONCE, uncontended, before the
     // concurrent write batch: otherwise the first future to touch
     // freshP pays the whole admission chain while eleven sibling jobs
     // fight it for task slots
     timed("s2_materialize") { freshP.count(); revisedP.count() }
-    val newUrls = {
+    val newUrls = timed("s2_barrier") {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
@@ -1796,11 +1819,11 @@ object Crawl {
       outlinkTotal - newUrls, 0, wall))
     // lineage/counters live in MANIFEST.json (no one-row parquet job)
     writeManifest(workdir, i, metrics)
-    freshP.unpersist()
-    revisedP.unpersist()
-    resolved.unpersist()
-    results.unpersist()
-    doleOut.unpersist()
+    freshP0.unpersist()
+    revisedP0.unpersist()
+    resolvedP.unpersist()
+    resultsP.unpersist()
+    doleOutP.unpersist()
     newPairs.unpersist()
     IterationResult(scheduled, fetched, robotsDenied, errors, newUrls, outlinkTotal - newUrls)
   }
@@ -2054,9 +2077,16 @@ object Crawl {
         init(spark, workdir, if (seedUrls.nonEmpty) seedUrls else Corpus.seeds(spec), cfg); 1
       case Some(n) => n + 1
     }
+    val timing = sys.env.contains("GRAFT_LOOP_TIMING")
     val out = (start until start + iterations).map { i =>
+      val it0 = System.nanoTime()
       val r = runIteration(spark, workdir, i, pages, robots, hostMeta, cfg, redirClosure)
-      if (i % compactEvery == 0) compact(spark, workdir, i, cfg)
+      if (timing) println(f"[iter $i] iter_wall        ${(System.nanoTime() - it0) / 1e9}%6.2f s")
+      if (i % compactEvery == 0) {
+        val c0 = System.nanoTime()
+        compact(spark, workdir, i, cfg)
+        if (timing) println(f"[iter $i] compact_wall     ${(System.nanoTime() - c0) / 1e9}%6.2f s")
+      }
       r
     }
     redirClosure.unpersist()
