@@ -82,7 +82,15 @@ object Crawl {
       // (the Msg25 "good inlinks, 1 per c block" analogue; the reference
       // bounds work per site via Msg25's inlink limits — LinkInfo.cpp
       // maxNumInlinks order of magnitude, not a hard constant)
-      siteInlinkCap: Int = 128
+      siteInlinkCap: Int = 128,
+      // Chain crawl state between iterations IN MEMORY (lazy plans over
+      // the persisted per-iteration deltas) and turn the snapshot
+      // parquet writes into an ASYNC checkpoint that overlaps the next
+      // iteration's planning + stage-1 job. The disk chain stays
+      // byte-equivalent (drained before compaction / at run end); the
+      // reference holds exactly this state in RAM too (its Rdb trees +
+      // waiting tree), with Rdb dumps as the checkpoint analogue.
+      loopChainState: Boolean = true
   )
 
   def nowSecs(cfg: Config, iteration: Int): Long = cfg.baseTimeSecs + iteration * (cfg.clockStepMs / 1000L).max(1L)
@@ -1446,12 +1454,79 @@ object Crawl {
   final case class IterationResult(scheduled: Long, fetched: Long, robotsDenied: Long,
                                    errors: Long, newUrls: Long, dupsDropped: Long)
 
+  /** In-memory continuation of the crawl loop between compactions: every
+    * state input an iteration needs, as LAZY plans over the persisted
+    * outputs of earlier iterations — the same rows the disk chain holds,
+    * without re-reading it. `pending` are the outstanding async snapshot
+    * writes (the disk chain is eventually identical; drain before any
+    * disk read — compaction, resume, external queries). `caches` are the
+    * persisted datasets the lazy plans lean on, freed together once the
+    * chain is re-rooted on a compacted snapshot. */
+  final case class LoopState(
+      requests: Dataset[FrontierRequest],
+      replies: Dataset[FrontierReply],
+      ipState: Dataset[IpState],
+      domState: Dataset[DomState],
+      inlinks: Dataset[InlinkState],
+      tagState: Dataset[TagState],
+      quotaState: DataFrame,
+      ipCounts: DataFrame,
+      ipNext: Option[DataFrame],
+      titleVecs: DataFrame, // (uh48, sample_vec) — loadTitleVecs shape
+      bloom: DataFrame,
+      bloomOnDisk: Boolean,
+      buckets: Map[String, Int], // keyed-state bucket counts (constant between compactions)
+      pending: Seq[scala.concurrent.Future[Any]],
+      caches: Seq[Dataset[_]]) {
+    def drain(): Unit = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      Await.result(Future.sequence(pending), Duration.Inf)
+    }
+    def freeCaches(): Unit = caches.foreach(_.unpersist())
+  }
+
+  /** Root a LoopState on the DISK chain as of snapshot i (chain start /
+    * post-compaction re-root). Lazy — nothing executes here. */
+  def loadLoopState(spark: SparkSession, workdir: String, i: Int, cfg: Config): LoopState =
+    LoopState(
+      requests = loadRequests(spark, workdir, i),
+      replies = loadReplies(spark, workdir, i),
+      ipState = loadIpState(spark, workdir, i),
+      domState = loadDomState(spark, workdir, i),
+      inlinks = loadInlinkState(spark, workdir, i),
+      tagState = loadTagState(spark, workdir, i),
+      quotaState = loadQuotaState(spark, workdir, i),
+      ipCounts = loadIpCounts(spark, workdir, i),
+      ipNext = loadIpNext(spark, workdir, i, cfg),
+      titleVecs = loadTitleVecs(spark, workdir, i),
+      bloom = loadBloom(spark, workdir, i, cfg),
+      bloomOnDisk = (0 to i).exists(k =>
+        new java.io.File(s"${snapDir(workdir, k)}/seen_bloom").exists),
+      buckets = Seq("ip_state", "dom_state", "inlink_state", "tag_state", "quota_state")
+        .map(n => n -> StateTable.bucketsOf(workdir, i, n)).toMap,
+      pending = Nil,
+      caches = Nil)
+
   /** Run one full crawl iteration: read state as of snapshot i-1, write
     * snapshot i (request/reply DELTAS — O(new data), not O(frontier)). */
+  /** Legacy single-iteration entry: state from the disk chain, writes
+    * drained before returning (callers read the snapshot right after —
+    * GenGoldens, the crawl_iteration oracle). */
   def runIteration(spark: SparkSession, workdir: String, i: Int,
                    pages: Dataset[PageRow], robots: Dataset[RobotsRow],
                    hostMeta: Dataset[HostMeta], cfg: Config,
-                   redirClosure: DataFrame = null): IterationResult = {
+                   redirClosure: DataFrame = null): IterationResult =
+    runIterationChained(spark, workdir, i, pages, robots, hostMeta, cfg,
+      redirClosure, chained = None, async = false)._1
+
+  def runIterationChained(spark: SparkSession, workdir: String, i: Int,
+                   pages: Dataset[PageRow], robots: Dataset[RobotsRow],
+                   hostMeta: Dataset[HostMeta], cfg: Config,
+                   redirClosure: DataFrame,
+                   chained: Option[LoopState],
+                   async: Boolean): (IterationResult, LoopState) = {
     import spark.implicits._
     // per-phase wall clocks, printed when GRAFT_LOOP_TIMING is set
     val timing = sys.env.contains("GRAFT_LOOP_TIMING")
@@ -1460,16 +1535,11 @@ object Crawl {
         val tt0 = System.nanoTime(); val r = f
         println(f"[iter $i] $tag%-16s ${(System.nanoTime() - tt0) / 1e9}%6.2f s"); r
       }
-    val prev = snapDir(workdir, i - 1)
-    val (requests, replies, ipState, domState, inlinks, tagState, quotaState) = timed("s0_loads") {
-      (loadRequests(spark, workdir, i - 1),
-        loadReplies(spark, workdir, i - 1),
-        loadIpState(spark, workdir, i - 1),
-        loadDomState(spark, workdir, i - 1),
-        loadInlinkState(spark, workdir, i - 1),
-        loadTagState(spark, workdir, i - 1),
-        loadQuotaState(spark, workdir, i - 1))
+    val st = timed("s0_loads") {
+      chained.getOrElse(loadLoopState(spark, workdir, i - 1, cfg))
     }
+    val (requests, replies, ipState, domState, inlinks, tagState, quotaState) =
+      (st.requests, st.replies, st.ipState, st.domState, st.inlinks, st.tagState, st.quotaState)
 
     val t0 = System.currentTimeMillis()
     val d = snapDir(workdir, i)
@@ -1478,7 +1548,7 @@ object Crawl {
     // outlinks. Counts come from the incrementally-maintained ip_counts
     // state (identical values to a requests groupBy, without the
     // per-iteration O(frontier) scan).
-    val ipCounts = loadIpCounts(spark, workdir, i - 1)
+    val ipCounts = st.ipCounts
     val overflowIps = ipCounts
       .filter(col("n") > cfg.overflowCap).select("first_ip")
 
@@ -1486,7 +1556,7 @@ object Crawl {
     // output (winners + one sentinel per scanned IP) is SMALL — persist
     // it so the batch consumer (fetch) and the ip_next roll-forward
     // don't recompute the frontier scan.
-    val ipNextPrev = loadIpNext(spark, workdir, i - 1, cfg)
+    val ipNextPrev = st.ipNext
     val so = timed("s0_sched_plan") {
       scheduleWake(requests, replies, ipState, domState, cfg, i, inlinks, quotaState, ipNextPrev)
     }
@@ -1502,7 +1572,7 @@ object Crawl {
     val doleOut = org.apache.spark.sql.GraftShim.cutLineage(doleOutP)
     val batch = doleOut.filter(col("seq_in_ip") >= 0).as[FetchTask]
     // old-doc sample vectors for percentChanged — slim titledb projection
-    val oldVecs = loadTitleVecs(spark, workdir, i - 1)
+    val oldVecs = st.titleVecs
     val (resultsP, results) = timed("s0_fetch_plan") {
       val p = fetch(batch, pages, robots, cfg, i, redirClosure, oldVecs)
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1541,7 +1611,7 @@ object Crawl {
       .join(overflowIps.withColumnRenamed("first_ip", "of_ip"), col("first_ip") === col("of_ip"), "left_anti")
       .as[FrontierRequest]
 
-    val bloomTable = loadBloom(spark, workdir, i - 1, cfg)
+    val bloomTable = st.bloom
     val fresh = admitNew(candidates, requests, bloomTable, cfg)
       // within-batch dedup (J4) with the same merge semantics as the
       // reference's scan-time duplicate merge (Spider.cpp:4799-4836):
@@ -1661,144 +1731,183 @@ object Crawl {
     // materialize the shared caches ONCE, uncontended, before the
     // concurrent write batch: otherwise the first future to touch
     // freshP pays the whole admission chain while eleven sibling jobs
-    // fight it for task slots
-    timed("s2_materialize") { freshP.count(); revisedP.count() }
-    val newUrls = timed("s2_barrier") {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
+    // fight it for task slots. The fresh count IS the new-url metric
+    // (revised EFAKEFIRSTIP re-adds are re-shards, not new urls —
+    // Spider.cpp:4279-4282 skips fakeFirstIp in m_totalNewSpiderRequests).
+    val newUrls = timed("s2_materialize") { val n = freshP.count(); revisedP.count(); n }
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    // next-iteration state datasets are built alongside the write jobs
+    // as LAZY plans over the SAME persisted inputs — the write jobs
+    // materialize those caches, so in chained mode the next iteration
+    // reads memory while the parquet chain (byte-equivalent rows)
+    // lands asynchronously. Persist only in chained+async mode; the
+    // legacy path discards the forward state.
+    val fwdCaches = scala.collection.mutable.ListBuffer[Dataset[_]]()
+    // persist + lineage cut: the write job materializes the cache, and
+    // every LATER plan built on the table (the forward state, next
+    // iteration's consumers, the next merge round) analyzes a leaf
+    // instead of re-walking the merge tree — without the cut, driver-side
+    // Catalyst analysis grows with every chained generation
+    def fwd(df: DataFrame): DataFrame =
+      if (async) {
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK); fwdCaches += p
+        org.apache.spark.sql.GraftShim.cutLineage(p)
+      } else df
+
+    // touched-bucket ids as a LAZY 1-col frame (no driver collect: the
+    // forward-state complement filter must be constructible before the
+    // write jobs run). Semantics identical to the chain reader's
+    // newest-bucket-wins: merged shadows touched, prior serves the rest.
+    def touchedIds(delta: DataFrame, keys: DataFrame => Seq[org.apache.spark.sql.Column], b: Int): DataFrame =
+      delta.select(StateTable.bucketCol(keys(delta), b).as("tb")).distinct()
+    def semiTouched(prior: DataFrame, keys: DataFrame => Seq[org.apache.spark.sql.Column], b: Int, ids: DataFrame): DataFrame =
+      prior.join(broadcast(ids), StateTable.bucketCol(keys(prior), b) === col("tb"), "left_semi")
+    def antiTouched(prior: DataFrame, keys: DataFrame => Seq[org.apache.spark.sql.Column], b: Int, ids: DataFrame): DataFrame =
+      prior.join(broadcast(ids), StateTable.bucketCol(keys(prior), b) === col("tb"), "left_anti")
+
+    // ---- state merges (lazy plans; shared by the write jobs and the
+    // ---- forward state)
+    val repDelta = fwd(repliesOf(results, replies, cfg, i).toDF)
+
+    val ipKeys = (df: DataFrame) => Seq(df("first_ip"))
+    val bIp = st.buckets("ip_state")
+    val ipIds = touchedIds(ipUpdates.toDF(), ipKeys, bIp)
+    val mergedIp = fwd(semiTouched(ipState.toDF(), ipKeys, bIp, ipIds).as[IpState]
+      .union(ipUpdates)
+      .groupByKey(_.first_ip)
+      .reduceGroups((a, b) => if (a.last_download_end_ms >= b.last_download_end_ms) a else b)
+      .map(_._2).toDF())
+
+    val domKeys = (df: DataFrame) => Seq(df("dom_hash32"))
+    val bDom = st.buckets("dom_state")
+    val domIds = touchedIds(domUpdates.toDF(), domKeys, bDom)
+    val mergedDom = fwd(semiTouched(domState.toDF(), domKeys, bDom, domIds)
+      .withColumn("stamp", lit(0))
+      .unionByName(domUpdates.toDF().withColumn("stamp", lit(1)))
+      .groupBy("dom_hash32")
+      .agg(max(struct(col("stamp"), col("crawl_delay_ms"))).as("s"))
+      .select(col("dom_hash32"), col("s.crawl_delay_ms").as("crawl_delay_ms")))
+
+    val inlKeys = (df: DataFrame) => Seq(df("uh48"))
+    val bInl = st.buckets("inlink_state")
+    val inlIds = touchedIds(newPairs, inlKeys, bInl)
+    // O(delta) inlink_state (A7): the explode+re-agg runs over touched
+    // buckets only — the r3 full-table explode is gone
+    val mergedInl = fwd(semiTouched(inlinks.toDF(), inlKeys, bInl, inlIds)
+      .select(col("first_ip"), col("uh48"), explode(col("cblocks")).as("cblock"))
+      .unionByName(newPairs)
+      .groupBy("first_ip", "uh48")
+      .agg(slice(sort_array(collect_set(col("cblock"))), 1, 20).as("cblocks")))
+
+    val tagKeys = (df: DataFrame) => Seq(df("site_hash32"))
+    val bTag = st.buckets("tag_state")
+    val tagIds = touchedIds(tagDelta.toDF(), tagKeys, bTag)
+    val mergedTag = fwd(semiTouched(tagState.toDF(), tagKeys, bTag, tagIds).as[TagState]
+      .union(tagDelta)
+      .groupByKey(_.site_hash32)
+      .reduceGroups((a, b) => combineTags(a, b, cap))
+      .map(_._2).toDF())
+
+    val quotaKeys = (df: DataFrame) => Seq(df("key"))
+    val bQuota = st.buckets("quota_state")
+    val quotaIds = touchedIds(quotaDelta, quotaKeys, bQuota)
+    val mergedQuota = fwd(semiTouched(quotaState, quotaKeys, bQuota, quotaIds)
+      .unionByName(quotaDelta)
+      .groupBy("key").agg(sum(col("n")).as("n")))
+
+    // A8 state roll-forward: prior counts + this delta's counts
+    val ipCountsNext = fwd(ipCounts
+      .unionByName(freshP.toDF().unionByName(revisedP.toDF())
+        .groupBy("first_ip").agg(count(lit(1)).as("n")))
+      .groupBy("first_ip").agg(sum(col("n")).as("n")))
+
+    // incremental seen-bloom maintenance, O(new urls) I/O: ONLY the
+    // touched buckets' rebuilt blooms are written forward as this
+    // snapshot's chain delta; untouched buckets are not even copied
+    // (loadBloom resolves the chain; compaction resets it). On a
+    // pre-bloom resume the chain has nothing persisted — the loaded
+    // table was rebuilt in memory, so a delta would orphan its
+    // untouched buckets (bloom false NEGATIVES skip the exact
+    // anti-join): write the one-time full instead.
+    val chainHasBloom = st.bloomOnDisk
+    val bloomW = fwd(SeenBloom.update(bloomTable,
+      freshP.map(r => java.lang.Long.valueOf(r.uh48))
+        .union(revisedP.map(r => java.lang.Long.valueOf(r.uh48))),
+      cfg.seenBuckets, cfg.expectedSeenPerBucket, cfg.bloomFpp, deltaOnly = chainHasBloom))
+
+    // A3 waiting-tree roll-forward, priority-layered upsert:
+    //   prior entries (0) < due-but-now-empty IPs (1, sleep forever
+    //   until touched — their rows were compacted away or F7/force-
+    //   delete-only) < freshly scanned minima (2) < TOUCHED IPs (3,
+    //   due next iteration: new/revised requests, replies+ip_state
+    //   from this batch, inlink-count changes — every channel that
+    //   can move a row's spider time or ufn).
+    val ipNextNext: Option[DataFrame] = if (!so.wake) None else Some {
+      def tag(df: DataFrame, p: Int) =
+        df.select(col("first_ip"), col("next_ms"), lit(p).as("pri"))
+      val prior = ipNextPrev.getOrElse(
+        spark.emptyDataset[(Int, Long)].toDF("first_ip", "next_ms"))
+      val dueDefault = so.dueIps.map(_.withColumn("next_ms", lit(Long.MaxValue)))
+        .getOrElse(spark.emptyDataset[(Int, Long)].toDF("first_ip", "next_ms"))
+      val wakeRows = doleOut.filter(col("seq_in_ip") === -1)
+        .select(col("first_ip"), col("spider_time_ms").as("next_ms"))
+      val touched = results.map(_.task.first_ip).toDF("first_ip")
+        .unionByName(freshP.select("first_ip"))
+        .unionByName(revisedP.select("first_ip"))
+        .unionByName(newPairs.select("first_ip"))
+        .distinct().withColumn("next_ms", lit(0L))
+      fwd(tag(prior, 0).unionByName(tag(dueDefault, 1))
+        .unionByName(tag(wakeRows, 2)).unionByName(tag(touched, 3))
+        .groupBy("first_ip")
+        .agg(max(struct(col("pri"), col("next_ms"))).as("s"))
+        .select(col("first_ip"), col("s.next_ms").as("next_ms")))
+    }
+
+    // per-url sample-vec delta feeding the forward titleVecs (the disk
+    // path re-derives the same rows from the titledb delta chain)
+    val vecDelta = results.filter(_.found)
+      .map(r => (r.task.uh48, nowSecs(cfg, i),
+        if (r.sampleVec == null) Array.empty[Int] else r.sampleVec))
+      .toDF("uh48", "t", "sample_vec")
+
+    // ---- STAGE 2: one flat concurrent write batch. In async mode the
+    // ---- futures are NOT awaited here — they overlap the next
+    // ---- iteration's plan construction and stage-1 job; the manifest
+    // ---- lands only after every write of this snapshot AND the
+    // ---- previous pending chain (resume sees manifests in order).
+    val pendingAll = timed("s2_issue") {
       val fDelta = Future { timed("w_req_delta") {
-        // the requests delta, with its new-url count observed in the same
-        // job (revised EFAKEFIRSTIP re-adds are re-shards, not new urls —
-        // Spider.cpp:4279-4282 skips fakeFirstIp in m_totalNewSpiderRequests)
-        val obsNew = org.apache.spark.sql.Observation()
-        freshP.toDF().withColumn("rev", lit(0))
-          .unionByName(revisedP.toDF().withColumn("rev", lit(1)))
-          .observe(obsNew, sum(when(col("rev") === 0, 1L).otherwise(0L)).as("n"))
-          .drop("rev")
+        freshP.toDF().unionByName(revisedP.toDF())
           .write.mode("overwrite").parquet(s"$d/requests_delta")
-        Option(obsNew.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
       } }
       val fBloom = Future { timed("w_bloom") {
-        // incremental seen-bloom maintenance, O(new urls) I/O: ONLY the
-        // touched buckets' rebuilt blooms are written forward as this
-        // snapshot's chain delta; untouched buckets are not even copied
-        // (loadBloom resolves the chain; compaction resets it). On a
-        // pre-bloom resume the chain has nothing persisted — the loaded
-        // table was rebuilt in memory, so a delta would orphan its
-        // untouched buckets (bloom false NEGATIVES skip the exact
-        // anti-join): write the one-time full instead.
-        val chainHasBloom = (0 until i)
-          .exists(k => new java.io.File(s"${snapDir(workdir, k)}/seen_bloom").exists)
-        SeenBloom.update(bloomTable,
-          freshP.map(r => java.lang.Long.valueOf(r.uh48))
-            .union(revisedP.map(r => java.lang.Long.valueOf(r.uh48))),
-          cfg.seenBuckets, cfg.expectedSeenPerBucket, cfg.bloomFpp, deltaOnly = chainHasBloom)
-          .write.mode("overwrite").parquet(s"$d/seen_bloom")
+        bloomW.write.mode("overwrite").parquet(s"$d/seen_bloom")
         if (chainHasBloom) java.nio.file.Files.write(
           new java.io.File(s"$d/seen_bloom", "_GRAFT_DELTA").toPath, Array.empty[Byte])
       } }
       val fCounts = Future { timed("w_ip_counts") {
-        // A8 state roll-forward: prior counts + this delta's counts
-        ipCounts
-          .unionByName(freshP.toDF().unionByName(revisedP.toDF())
-            .groupBy("first_ip").agg(count(lit(1)).as("n")))
-          .groupBy("first_ip").agg(sum(col("n")).as("n"))
-          .write.mode("overwrite").parquet(s"$d/ip_counts")
+        ipCountsNext.write.mode("overwrite").parquet(s"$d/ip_counts")
       } }
-      val fIpNext = if (!so.wake) Seq.empty else Seq(Future { timed("w_ip_next") {
-        // A3 waiting-tree roll-forward, priority-layered upsert:
-        //   prior entries (0) < due-but-now-empty IPs (1, sleep forever
-        //   until touched — their rows were compacted away or F7/force-
-        //   delete-only) < freshly scanned minima (2) < TOUCHED IPs (3,
-        //   due next iteration: new/revised requests, replies+ip_state
-        //   from this batch, inlink-count changes — every channel that
-        //   can move a row's spider time or ufn).
-        def tag(df: DataFrame, p: Int) =
-          df.select(col("first_ip"), col("next_ms"), lit(p).as("pri"))
-        val prior = ipNextPrev.getOrElse(
-          spark.emptyDataset[(Int, Long)].toDF("first_ip", "next_ms"))
-        val dueDefault = so.dueIps.map(_.withColumn("next_ms", lit(Long.MaxValue)))
-          .getOrElse(spark.emptyDataset[(Int, Long)].toDF("first_ip", "next_ms"))
-        val wakeRows = doleOut.filter(col("seq_in_ip") === -1)
-          .select(col("first_ip"), col("spider_time_ms").as("next_ms"))
-        val touched = results.map(_.task.first_ip).toDF("first_ip")
-          .unionByName(freshP.select("first_ip"))
-          .unionByName(revisedP.select("first_ip"))
-          .unionByName(newPairs.select("first_ip"))
-          .distinct().withColumn("next_ms", lit(0L))
-        tag(prior, 0).unionByName(tag(dueDefault, 1))
-          .unionByName(tag(wakeRows, 2)).unionByName(tag(touched, 3))
-          .groupBy("first_ip")
-          .agg(max(struct(col("pri"), col("next_ms"))).as("s"))
-          .select(col("first_ip"), col("s.next_ms").as("next_ms"))
-          .write.mode("overwrite").parquet(s"$d/ip_next")
+      val fIpNext = ipNextNext.toSeq.map(ipn => Future { timed("w_ip_next") {
+        ipn.write.mode("overwrite").parquet(s"$d/ip_next")
         writeIpNextMarker(workdir, i, cfg)
       } })
       val writes = fIpNext ++ Seq(
-        fBloom, fCounts,
-        Future { timed("w_replies") { repliesOf(results, replies, cfg, i).write.mode("overwrite").parquet(s"$d/replies_delta") } },
-        Future { timed("w_ip_state") { // O(delta) ip_state: prior rows of touched buckets only
-          val keys = (df: DataFrame) => Seq(df("first_ip"))
-          val b = stateBuckets(workdir, i - 1, "ip_state")
-          val touched = StateTable.touchedBuckets(ipUpdates.toDF(), keys, b)
-          val prior = StateTable.loadBuckets(spark, workdir, i - 1, "ip_state", keys,
-            b, spark.emptyDataset[IpState].toDF(), Some(touched)).as[IpState]
-          val merged = prior.union(ipUpdates)
-            .groupByKey(_.first_ip)
-            .reduceGroups((a, b) => if (a.last_download_end_ms >= b.last_download_end_ms) a else b)
-            .map(_._2)
-          StateTable.writeDelta(merged.toDF(), Seq(col("first_ip")), b, s"$d/ip_state")
-        } },
-        Future { timed("w_dom_state") { // O(delta) dom_state
-          val keys = (df: DataFrame) => Seq(df("dom_hash32"))
-          val b = stateBuckets(workdir, i - 1, "dom_state")
-          val touched = StateTable.touchedBuckets(domUpdates.toDF(), keys, b)
-          val prior = StateTable.loadBuckets(spark, workdir, i - 1, "dom_state", keys,
-            b, spark.emptyDataset[DomState].toDF(), Some(touched))
-          val merged = prior.withColumn("stamp", lit(0))
-            .unionByName(domUpdates.toDF().withColumn("stamp", lit(1)))
-            .groupBy("dom_hash32")
-            .agg(max(struct(col("stamp"), col("crawl_delay_ms"))).as("s"))
-            .select(col("dom_hash32"), col("s.crawl_delay_ms").as("crawl_delay_ms"))
-          StateTable.writeDelta(merged, Seq(col("dom_hash32")), b, s"$d/dom_state")
-        } },
-        Future { timed("w_inlink") { // O(delta) inlink_state (A7): the explode+re-agg runs
-          // over touched buckets only — the r3 full-table explode is gone
-          val keys = (df: DataFrame) => Seq(df("uh48"))
-          val b = stateBuckets(workdir, i - 1, "inlink_state")
-          val touched = StateTable.touchedBuckets(newPairs, keys, b)
-          val prior = StateTable.loadBuckets(spark, workdir, i - 1, "inlink_state", keys,
-            b, spark.emptyDataset[InlinkState].toDF(), Some(touched))
-          val merged = prior
-            .select(col("first_ip"), col("uh48"), explode(col("cblocks")).as("cblock"))
-            .unionByName(newPairs)
-            .groupBy("first_ip", "uh48")
-            .agg(slice(sort_array(collect_set(col("cblock"))), 1, 20).as("cblocks"))
-          StateTable.writeDelta(merged, Seq(col("uh48")), b, s"$d/inlink_state")
-        } },
-        Future { timed("w_tag") { // O(delta) tag_state
-          val keys = (df: DataFrame) => Seq(df("site_hash32"))
-          val b = stateBuckets(workdir, i - 1, "tag_state")
-          val touched = StateTable.touchedBuckets(tagDelta.toDF(), keys, b)
-          val prior = StateTable.loadBuckets(spark, workdir, i - 1, "tag_state", keys,
-            b, spark.emptyDataset[TagState].toDF(), Some(touched)).as[TagState]
-          val merged = prior.union(tagDelta)
-            .groupByKey(_.site_hash32)
-            .reduceGroups((a, b) => combineTags(a, b, cap))
-            .map(_._2)
-          StateTable.writeDelta(merged.toDF(), Seq(col("site_hash32")), b, s"$d/tag_state")
-        } },
-        Future { timed("w_quota") { // O(delta) quota_state (A6)
-          val keys = (df: DataFrame) => Seq(df("key"))
-          val b = stateBuckets(workdir, i - 1, "quota_state")
-          val touched = StateTable.touchedBuckets(quotaDelta, keys, b)
-          val prior = StateTable.loadBuckets(spark, workdir, i - 1, "quota_state", keys,
-            b, spark.emptyDataset[(Int, Long)].toDF("key", "n"), Some(touched))
-          val merged = prior.unionByName(quotaDelta)
-            .groupBy("key").agg(sum(col("n")).as("n"))
-          StateTable.writeDelta(merged, Seq(col("key")), b, s"$d/quota_state")
-        } },
+        fDelta, fBloom, fCounts,
+        Future { timed("w_replies") { repDelta.write.mode("overwrite").parquet(s"$d/replies_delta") } },
+        Future { timed("w_ip_state") {
+          StateTable.writeDelta(mergedIp, Seq(col("first_ip")), bIp, s"$d/ip_state") } },
+        Future { timed("w_dom_state") {
+          StateTable.writeDelta(mergedDom, Seq(col("dom_hash32")), bDom, s"$d/dom_state") } },
+        Future { timed("w_inlink") {
+          StateTable.writeDelta(mergedInl, Seq(col("uh48")), bInl, s"$d/inlink_state") } },
+        Future { timed("w_tag") {
+          StateTable.writeDelta(mergedTag, Seq(col("site_hash32")), bTag, s"$d/tag_state") } },
+        Future { timed("w_quota") {
+          StateTable.writeDelta(mergedQuota, Seq(col("key")), bQuota, s"$d/quota_state") } },
         Future { timed("w_titledb") {
           // S7: titledb sink — the crawled-content snapshot (Titledb.cpp
           // titleRec analogue): raw bytes + extracted text per fetched
@@ -1810,22 +1919,54 @@ object Crawl {
             .write.mode("overwrite").parquet(s"$d/titledb_delta")
         } }
       )
-      Await.result(Future.sequence(writes), Duration.Inf)
-      Await.result(fDelta, Duration.Inf)
+      val wall = System.currentTimeMillis() - t0
+      val metrics = Seq(MetricsRow(i, 0, scheduled, fetched, robotsDenied, errors, newUrls,
+        outlinkTotal - newUrls, 0, wall))
+      Future.sequence(writes ++ st.pending).map { _ =>
+        // lineage/counters live in MANIFEST.json (no one-row parquet job)
+        writeManifest(workdir, i, metrics)
+      }
     }
 
-    val wall = System.currentTimeMillis() - t0
-    val metrics = Seq(MetricsRow(i, 0, scheduled, fetched, robotsDenied, errors, newUrls,
-      outlinkTotal - newUrls, 0, wall))
-    // lineage/counters live in MANIFEST.json (no one-row parquet job)
-    writeManifest(workdir, i, metrics)
-    freshP0.unpersist()
-    revisedP0.unpersist()
-    resolvedP.unpersist()
-    resultsP.unpersist()
-    doleOutP.unpersist()
-    newPairs.unpersist()
-    IterationResult(scheduled, fetched, robotsDenied, errors, newUrls, outlinkTotal - newUrls)
+    // ---- forward state: same rows the disk chain now (eventually)
+    // ---- holds, as plans over this iteration's caches
+    val iterCaches: Seq[Dataset[_]] =
+      Seq(doleOutP, resultsP, resolvedP, newPairs, freshP0, revisedP0) ++ fwdCaches
+    val next = LoopState(
+      requests = requests.union(freshP).union(revisedP),
+      replies = replies.union(repDelta.as[FrontierReply]),
+      ipState = antiTouched(ipState.toDF(), ipKeys, bIp, ipIds).as[IpState]
+        .union(mergedIp.as[IpState]),
+      domState = antiTouched(domState.toDF(), domKeys, bDom, domIds).as[DomState]
+        .union(mergedDom.as[DomState]),
+      inlinks = antiTouched(inlinks.toDF(), inlKeys, bInl, inlIds).as[InlinkState]
+        .union(mergedInl.as[InlinkState]),
+      tagState = antiTouched(tagState.toDF(), tagKeys, bTag, tagIds).as[TagState]
+        .union(mergedTag.as[TagState]),
+      quotaState = antiTouched(quotaState, quotaKeys, bQuota, quotaIds)
+        .unionByName(mergedQuota),
+      ipCounts = ipCountsNext,
+      ipNext = ipNextNext,
+      titleVecs = st.titleVecs.withColumn("t", lit(0L))
+        .unionByName(vecDelta)
+        .groupBy("uh48").agg(max(struct(col("t"), col("sample_vec"))).as("s"))
+        .select(col("uh48"), col("s.sample_vec").as("sample_vec")),
+      bloom = if (chainHasBloom)
+        bloomW.withColumn("ord", lit(1))
+          .unionByName(bloomTable.withColumn("ord", lit(0)))
+          .groupBy("bucket").agg(max_by(col("bloom"), col("ord")).as("bloom"))
+      else bloomW,
+      bloomOnDisk = true,
+      buckets = st.buckets,
+      pending = Seq(pendingAll),
+      caches = st.caches ++ iterCaches)
+
+    if (!async) {
+      timed("s2_barrier") { Await.result(pendingAll, Duration.Inf) }
+      iterCaches.foreach(_.unpersist())
+    }
+    (IterationResult(scheduled, fetched, robotsDenied, errors, newUrls, outlinkTotal - newUrls),
+      next)
   }
 
   /** J3: frontier compaction — dedupSpiderdbList (Spider.cpp:13609-13823):
@@ -2078,17 +2219,30 @@ object Crawl {
       case Some(n) => n + 1
     }
     val timing = sys.env.contains("GRAFT_LOOP_TIMING")
+    // chained mode: state flows between iterations in memory; the
+    // snapshot writes are an async checkpoint drained before every disk
+    // read (compaction, end of run) — the on-disk chain is identical to
+    // the legacy per-iteration-synchronous one.
+    var st: Option[LoopState] = None
     val out = (start until start + iterations).map { i =>
       val it0 = System.nanoTime()
-      val r = runIteration(spark, workdir, i, pages, robots, hostMeta, cfg, redirClosure)
+      val (r, nextSt) = runIterationChained(spark, workdir, i, pages, robots, hostMeta,
+        cfg, redirClosure, chained = st, async = cfg.loopChainState)
+      if (cfg.loopChainState) st = Some(nextSt)
       if (timing) println(f"[iter $i] iter_wall        ${(System.nanoTime() - it0) / 1e9}%6.2f s")
       if (i % compactEvery == 0) {
         val c0 = System.nanoTime()
+        st.foreach(_.drain())
         compact(spark, workdir, i, cfg)
+        // re-root the chain on the compacted snapshot and release every
+        // cache the pre-compaction plans leaned on
+        st.foreach(_.freeCaches())
+        if (cfg.loopChainState) st = Some(loadLoopState(spark, workdir, i, cfg))
         if (timing) println(f"[iter $i] compact_wall     ${(System.nanoTime() - c0) / 1e9}%6.2f s")
       }
       r
     }
+    st.foreach { s => s.drain(); s.freeCaches() }
     redirClosure.unpersist()
     pages.unpersist()
     out
