@@ -1739,6 +1739,7 @@ object Crawl {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
+    val sMergePlan0 = System.nanoTime()
     // next-iteration state datasets are built alongside the write jobs
     // as LAZY plans over the SAME persisted inputs — the write jobs
     // materialize those caches, so in chained mode the next iteration
@@ -1753,9 +1754,21 @@ object Crawl {
     // Catalyst analysis grows with every chained generation
     def fwd(df: DataFrame): DataFrame =
       if (async) {
-        val p = df.persist(StorageLevel.MEMORY_AND_DISK); fwdCaches += p
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        fwdCaches.synchronized { fwdCaches += p }
         org.apache.spark.sql.GraftShim.cutLineage(p)
       } else df
+    // the cut's toRdd runs analyzer+optimizer+physical planning on the
+    // DRIVER at construction time — ~0.5-1s per state table. The eleven
+    // tables are independent, so each plan is built on its own thread;
+    // the segment costs max(plan) instead of sum(plan).
+    def planned[T](body: => T): Future[T] = Future(body)
+    def plannedT[T](lbl: String)(body: => T): Future[T] = Future {
+      val t = System.nanoTime(); val r = body
+      if (timing) println(f"[iter $i] plan_$lbl%-12s ${(System.nanoTime() - t) / 1e9}%6.2f s")
+      r
+    }
+    def await[T](f: Future[T]): T = Await.result(f, Duration.Inf)
 
     // touched-bucket ids as a LAZY 1-col frame (no driver collect: the
     // forward-state complement filter must be constructible before the
@@ -1770,59 +1783,71 @@ object Crawl {
 
     // ---- state merges (lazy plans; shared by the write jobs and the
     // ---- forward state)
-    val repDelta = fwd(repliesOf(results, replies, cfg, i).toDF)
+    val bIp = st.buckets("ip_state")
+    val bDom = st.buckets("dom_state")
+    val bInl = st.buckets("inlink_state")
+    val bTag = st.buckets("tag_state")
+    val bQuota = st.buckets("quota_state")
+
+    val fRepDelta = plannedT("rep") { fwd(repliesOf(results, replies, cfg, i).toDF) }
 
     val ipKeys = (df: DataFrame) => Seq(df("first_ip"))
-    val bIp = st.buckets("ip_state")
     val ipIds = touchedIds(ipUpdates.toDF(), ipKeys, bIp)
-    val mergedIp = fwd(semiTouched(ipState.toDF(), ipKeys, bIp, ipIds).as[IpState]
-      .union(ipUpdates)
-      .groupByKey(_.first_ip)
-      .reduceGroups((a, b) => if (a.last_download_end_ms >= b.last_download_end_ms) a else b)
-      .map(_._2).toDF())
-
     val domKeys = (df: DataFrame) => Seq(df("dom_hash32"))
-    val bDom = st.buckets("dom_state")
     val domIds = touchedIds(domUpdates.toDF(), domKeys, bDom)
-    val mergedDom = fwd(semiTouched(domState.toDF(), domKeys, bDom, domIds)
-      .withColumn("stamp", lit(0))
-      .unionByName(domUpdates.toDF().withColumn("stamp", lit(1)))
-      .groupBy("dom_hash32")
-      .agg(max(struct(col("stamp"), col("crawl_delay_ms"))).as("s"))
-      .select(col("dom_hash32"), col("s.crawl_delay_ms").as("crawl_delay_ms")))
-
     val inlKeys = (df: DataFrame) => Seq(df("uh48"))
-    val bInl = st.buckets("inlink_state")
     val inlIds = touchedIds(newPairs, inlKeys, bInl)
+    val tagKeys = (df: DataFrame) => Seq(df("site_hash32"))
+    val tagIds = touchedIds(tagDelta.toDF(), tagKeys, bTag)
+    val quotaKeys = (df: DataFrame) => Seq(df("key"))
+    val quotaIds = touchedIds(quotaDelta, quotaKeys, bQuota)
+
+    val fMergedIp = plannedT("ip") {
+      fwd(semiTouched(ipState.toDF(), ipKeys, bIp, ipIds).as[IpState]
+        .union(ipUpdates)
+        .groupByKey(_.first_ip)
+        .reduceGroups((a, b) => if (a.last_download_end_ms >= b.last_download_end_ms) a else b)
+        .map(_._2).toDF())
+    }
+
+    val fMergedDom = plannedT("dom") {
+      fwd(semiTouched(domState.toDF(), domKeys, bDom, domIds)
+        .withColumn("stamp", lit(0))
+        .unionByName(domUpdates.toDF().withColumn("stamp", lit(1)))
+        .groupBy("dom_hash32")
+        .agg(max(struct(col("stamp"), col("crawl_delay_ms"))).as("s"))
+        .select(col("dom_hash32"), col("s.crawl_delay_ms").as("crawl_delay_ms")))
+    }
+
     // O(delta) inlink_state (A7): the explode+re-agg runs over touched
     // buckets only — the r3 full-table explode is gone
-    val mergedInl = fwd(semiTouched(inlinks.toDF(), inlKeys, bInl, inlIds)
-      .select(col("first_ip"), col("uh48"), explode(col("cblocks")).as("cblock"))
-      .unionByName(newPairs)
-      .groupBy("first_ip", "uh48")
-      .agg(slice(sort_array(collect_set(col("cblock"))), 1, 20).as("cblocks")))
+    val fMergedInl = plannedT("inl") {
+      fwd(semiTouched(inlinks.toDF(), inlKeys, bInl, inlIds)
+        .select(col("first_ip"), col("uh48"), explode(col("cblocks")).as("cblock"))
+        .unionByName(newPairs)
+        .groupBy("first_ip", "uh48")
+        .agg(slice(sort_array(collect_set(col("cblock"))), 1, 20).as("cblocks")))
+    }
 
-    val tagKeys = (df: DataFrame) => Seq(df("site_hash32"))
-    val bTag = st.buckets("tag_state")
-    val tagIds = touchedIds(tagDelta.toDF(), tagKeys, bTag)
-    val mergedTag = fwd(semiTouched(tagState.toDF(), tagKeys, bTag, tagIds).as[TagState]
-      .union(tagDelta)
-      .groupByKey(_.site_hash32)
-      .reduceGroups((a, b) => combineTags(a, b, cap))
-      .map(_._2).toDF())
+    val fMergedTag = plannedT("tag") {
+      fwd(semiTouched(tagState.toDF(), tagKeys, bTag, tagIds).as[TagState]
+        .union(tagDelta)
+        .groupByKey(_.site_hash32)
+        .reduceGroups((a, b) => combineTags(a, b, cap))
+        .map(_._2).toDF())
+    }
 
-    val quotaKeys = (df: DataFrame) => Seq(df("key"))
-    val bQuota = st.buckets("quota_state")
-    val quotaIds = touchedIds(quotaDelta, quotaKeys, bQuota)
-    val mergedQuota = fwd(semiTouched(quotaState, quotaKeys, bQuota, quotaIds)
-      .unionByName(quotaDelta)
-      .groupBy("key").agg(sum(col("n")).as("n")))
+    val fMergedQuota = plannedT("quota") {
+      fwd(semiTouched(quotaState, quotaKeys, bQuota, quotaIds)
+        .unionByName(quotaDelta)
+        .groupBy("key").agg(sum(col("n")).as("n")))
+    }
 
     // A8 state roll-forward: prior counts + this delta's counts
-    val ipCountsNext = fwd(ipCounts
+    val fIpCountsNext = plannedT("ipcounts") { fwd(ipCounts
       .unionByName(freshP.toDF().unionByName(revisedP.toDF())
         .groupBy("first_ip").agg(count(lit(1)).as("n")))
-      .groupBy("first_ip").agg(sum(col("n")).as("n")))
+      .groupBy("first_ip").agg(sum(col("n")).as("n"))) }
 
     // incremental seen-bloom maintenance, O(new urls) I/O: ONLY the
     // touched buckets' rebuilt blooms are written forward as this
@@ -1833,10 +1858,10 @@ object Crawl {
     // untouched buckets (bloom false NEGATIVES skip the exact
     // anti-join): write the one-time full instead.
     val chainHasBloom = st.bloomOnDisk
-    val bloomW = fwd(SeenBloom.update(bloomTable,
+    val fBloomW = plannedT("bloom") { fwd(SeenBloom.update(bloomTable,
       freshP.map(r => java.lang.Long.valueOf(r.uh48))
         .union(revisedP.map(r => java.lang.Long.valueOf(r.uh48))),
-      cfg.seenBuckets, cfg.expectedSeenPerBucket, cfg.bloomFpp, deltaOnly = chainHasBloom))
+      cfg.seenBuckets, cfg.expectedSeenPerBucket, cfg.bloomFpp, deltaOnly = chainHasBloom)) }
 
     // A3 waiting-tree roll-forward, priority-layered upsert:
     //   prior entries (0) < due-but-now-empty IPs (1, sleep forever
@@ -1845,7 +1870,7 @@ object Crawl {
     //   due next iteration: new/revised requests, replies+ip_state
     //   from this batch, inlink-count changes — every channel that
     //   can move a row's spider time or ufn).
-    val ipNextNext: Option[DataFrame] = if (!so.wake) None else Some {
+    val fIpNextNext: Future[Option[DataFrame]] = if (!so.wake) Future.successful(None) else plannedT("ipnext") { Some {
       def tag(df: DataFrame, p: Int) =
         df.select(col("first_ip"), col("next_ms"), lit(p).as("pri"))
       val prior = ipNextPrev.getOrElse(
@@ -1864,7 +1889,7 @@ object Crawl {
         .groupBy("first_ip")
         .agg(max(struct(col("pri"), col("next_ms"))).as("s"))
         .select(col("first_ip"), col("s.next_ms").as("next_ms")))
-    }
+    } }
 
     // per-url sample-vec delta feeding the forward titleVecs (the disk
     // path re-derives the same rows from the titledb delta chain)
@@ -1873,6 +1898,19 @@ object Crawl {
         if (r.sampleVec == null) Array.empty[Int] else r.sampleVec))
       .toDF("uh48", "t", "sample_vec")
 
+    // plan-construction barrier: every forward-state table is now
+    // analyzed/planned/cut; the write batch below consumes leaves
+    val repDelta = await(fRepDelta)
+    val mergedIp = await(fMergedIp)
+    val mergedDom = await(fMergedDom)
+    val mergedInl = await(fMergedInl)
+    val mergedTag = await(fMergedTag)
+    val mergedQuota = await(fMergedQuota)
+    val ipCountsNext = await(fIpCountsNext)
+    val bloomW = await(fBloomW)
+    val ipNextNext = await(fIpNextNext)
+
+    if (timing) println(f"[iter $i] s2_merge_plan    ${(System.nanoTime() - sMergePlan0) / 1e9}%6.2f s")
     // ---- STAGE 2: one flat concurrent write batch. In async mode the
     // ---- futures are NOT awaited here — they overlap the next
     // ---- iteration's plan construction and stage-1 job; the manifest
@@ -1930,6 +1968,7 @@ object Crawl {
 
     // ---- forward state: same rows the disk chain now (eventually)
     // ---- holds, as plans over this iteration's caches
+    val sFwd0 = System.nanoTime()
     val iterCaches: Seq[Dataset[_]] =
       Seq(doleOutP, resultsP, resolvedP, newPairs, freshP0, revisedP0) ++ fwdCaches
     val next = LoopState(
@@ -1961,6 +2000,7 @@ object Crawl {
       pending = Seq(pendingAll),
       caches = st.caches ++ iterCaches)
 
+    if (timing) println(f"[iter $i] s2_fwd_state     ${(System.nanoTime() - sFwd0) / 1e9}%6.2f s")
     if (!async) {
       timed("s2_barrier") { Await.result(pendingAll, Duration.Inf) }
       iterCaches.foreach(_.unpersist())
