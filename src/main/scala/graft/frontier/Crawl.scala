@@ -1770,16 +1770,19 @@ object Crawl {
     }
     def await[T](f: Future[T]): T = Await.result(f, Duration.Inf)
 
-    // touched-bucket ids as a LAZY 1-col frame (no driver collect: the
-    // forward-state complement filter must be constructible before the
-    // write jobs run). Semantics identical to the chain reader's
+    // touched-bucket ids, collected per table inside its planned block
+    // (a tiny job on the cached delta; ids ≤ bucket count ≤ 65536, and
+    // Catalyst compiles the membership test to one InSet node — no
+    // broadcast-build stage per state table, which the r4 profile
+    // showed as two extra stages on every merge AND every forward-state
+    // complement). Semantics identical to the chain reader's
     // newest-bucket-wins: merged shadows touched, prior serves the rest.
-    def touchedIds(delta: DataFrame, keys: DataFrame => Seq[org.apache.spark.sql.Column], b: Int): DataFrame =
-      delta.select(StateTable.bucketCol(keys(delta), b).as("tb")).distinct()
-    def semiTouched(prior: DataFrame, keys: DataFrame => Seq[org.apache.spark.sql.Column], b: Int, ids: DataFrame): DataFrame =
-      prior.join(broadcast(ids), StateTable.bucketCol(keys(prior), b) === col("tb"), "left_semi")
-    def antiTouched(prior: DataFrame, keys: DataFrame => Seq[org.apache.spark.sql.Column], b: Int, ids: DataFrame): DataFrame =
-      prior.join(broadcast(ids), StateTable.bucketCol(keys(prior), b) === col("tb"), "left_anti")
+    def semiTouched(prior: DataFrame, keys: DataFrame => Seq[org.apache.spark.sql.Column], b: Int, ids: Set[Int]): DataFrame =
+      if (ids.isEmpty) prior.limit(0)
+      else prior.filter(StateTable.bucketCol(keys(prior), b).isInCollection(ids))
+    def antiTouched(prior: DataFrame, keys: DataFrame => Seq[org.apache.spark.sql.Column], b: Int, ids: Set[Int]): DataFrame =
+      if (ids.isEmpty) prior
+      else prior.filter(!StateTable.bucketCol(keys(prior), b).isInCollection(ids))
 
     // ---- state merges (lazy plans; shared by the write jobs and the
     // ---- forward state)
@@ -1792,17 +1795,18 @@ object Crawl {
     val fRepDelta = plannedT("rep") { fwd(repliesOf(results, replies, cfg, i).toDF) }
 
     val ipKeys = (df: DataFrame) => Seq(df("first_ip"))
-    val ipIds = touchedIds(ipUpdates.toDF(), ipKeys, bIp)
     val domKeys = (df: DataFrame) => Seq(df("dom_hash32"))
-    val domIds = touchedIds(domUpdates.toDF(), domKeys, bDom)
     val inlKeys = (df: DataFrame) => Seq(df("uh48"))
-    val inlIds = touchedIds(newPairs, inlKeys, bInl)
     val tagKeys = (df: DataFrame) => Seq(df("site_hash32"))
-    val tagIds = touchedIds(tagDelta.toDF(), tagKeys, bTag)
     val quotaKeys = (df: DataFrame) => Seq(df("key"))
-    val quotaIds = touchedIds(quotaDelta, quotaKeys, bQuota)
+    val fIpIds = planned { StateTable.touchedBuckets(ipUpdates.toDF(), ipKeys, bIp) }
+    val fDomIds = planned { StateTable.touchedBuckets(domUpdates.toDF(), domKeys, bDom) }
+    val fInlIds = planned { StateTable.touchedBuckets(newPairs, inlKeys, bInl) }
+    val fTagIds = planned { StateTable.touchedBuckets(tagDelta.toDF(), tagKeys, bTag) }
+    val fQuotaIds = planned { StateTable.touchedBuckets(quotaDelta, quotaKeys, bQuota) }
 
     val fMergedIp = plannedT("ip") {
+      val ipIds = await(fIpIds)
       fwd(semiTouched(ipState.toDF(), ipKeys, bIp, ipIds).as[IpState]
         .union(ipUpdates)
         .groupByKey(_.first_ip)
@@ -1811,6 +1815,7 @@ object Crawl {
     }
 
     val fMergedDom = plannedT("dom") {
+      val domIds = await(fDomIds)
       fwd(semiTouched(domState.toDF(), domKeys, bDom, domIds)
         .withColumn("stamp", lit(0))
         .unionByName(domUpdates.toDF().withColumn("stamp", lit(1)))
@@ -1822,6 +1827,7 @@ object Crawl {
     // O(delta) inlink_state (A7): the explode+re-agg runs over touched
     // buckets only — the r3 full-table explode is gone
     val fMergedInl = plannedT("inl") {
+      val inlIds = await(fInlIds)
       fwd(semiTouched(inlinks.toDF(), inlKeys, bInl, inlIds)
         .select(col("first_ip"), col("uh48"), explode(col("cblocks")).as("cblock"))
         .unionByName(newPairs)
@@ -1830,6 +1836,7 @@ object Crawl {
     }
 
     val fMergedTag = plannedT("tag") {
+      val tagIds = await(fTagIds)
       fwd(semiTouched(tagState.toDF(), tagKeys, bTag, tagIds).as[TagState]
         .union(tagDelta)
         .groupByKey(_.site_hash32)
@@ -1838,6 +1845,7 @@ object Crawl {
     }
 
     val fMergedQuota = plannedT("quota") {
+      val quotaIds = await(fQuotaIds)
       fwd(semiTouched(quotaState, quotaKeys, bQuota, quotaIds)
         .unionByName(quotaDelta)
         .groupBy("key").agg(sum(col("n")).as("n")))
@@ -1901,6 +1909,9 @@ object Crawl {
     // plan-construction barrier: every forward-state table is now
     // analyzed/planned/cut; the write batch below consumes leaves
     val repDelta = await(fRepDelta)
+    val ipIds = await(fIpIds); val domIds = await(fDomIds)
+    val inlIds = await(fInlIds); val tagIds = await(fTagIds)
+    val quotaIds = await(fQuotaIds)
     val mergedIp = await(fMergedIp)
     val mergedDom = await(fMergedDom)
     val mergedInl = await(fMergedInl)
