@@ -90,7 +90,14 @@ object Crawl {
       // byte-equivalent (drained before compaction / at run end); the
       // reference holds exactly this state in RAM too (its Rdb trees +
       // waiting tree), with Rdb dumps as the checkpoint analogue.
-      loopChainState: Boolean = true
+      // DEFAULT OFF: measured SLOWER than the delta-bucket disk chain
+      // at every sandbox scale tried (r4 A/B: ~56 vs ~67 urls/sec,
+      // local[8], 6 iters) — each persist+lineage-cut point forces AQE
+      // stage materialization on the driver path, costing more than the
+      // tiny-parquet re-reads it saves. Output is byte-identical either
+      // way (LoopChainSpec); kept as the documented in-memory variant
+      // for environments where state re-reads are the bottleneck.
+      loopChainState: Boolean = false
   )
 
   def nowSecs(cfg: Config, iteration: Int): Long = cfg.baseTimeSecs + iteration * (cfg.clockStepMs / 1000L).max(1L)

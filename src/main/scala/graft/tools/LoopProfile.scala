@@ -22,7 +22,8 @@ object LoopProfile {
     spark.sparkContext.setLogLevel("ERROR")
     val work = Files.createTempDirectory(s"graft_loopprof").toString
     val spec = Corpus.small
-    val cfg = Crawl.Config(clockStepMs = 60000L, seenBuckets = 8, expectedSeenPerBucket = 20000L)
+    val cfg = Crawl.Config(clockStepMs = 60000L, seenBuckets = 8, expectedSeenPerBucket = 20000L,
+      loopChainState = sys.env.getOrElse("P_CHAIN", "true").toBoolean)
     val seeds = (0 until spec.nHosts).map(k => s"http://${Corpus.host(k)}/")
     val t0 = System.nanoTime()
     val res = Crawl.run(spark, work, spec, iters, cfg, seedUrls = seeds)
