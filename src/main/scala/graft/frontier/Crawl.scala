@@ -245,9 +245,21 @@ object Crawl {
     val capExpr = coalesce(
       element_at(map(priCap.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*), col("priority")),
       lit(0))
+    // scale shape (VERDICT r3 #10): pre-cap per (priority, first_ip)
+    // BEFORE the per-priority window. The per-priority partition is
+    // <=128 groups — one task per priority would otherwise buffer every
+    // row of that priority. A row ranked > cap inside its own
+    // (priority, ip) group is preceded globally by >= cap rows of that
+    // same group, so it can never survive the priority cap: the pre-cap
+    // is exact, and it bounds the wide window's input at cap x #IPs.
+    val wpi = Window.partitionBy(col("priority"), col("first_ip"))
+      .orderBy(col("spider_time_ms").asc, col("uh48").asc)
     val wp = Window.partitionBy(col("priority"))
       .orderBy(col("spider_time_ms").asc, col("uh48").asc, col("first_ip").asc)
     batch.toDF()
+      .withColumn("iprank", row_number().over(wpi))
+      .filter(col("iprank") <= capExpr)
+      .drop("iprank")
       .withColumn("prank", row_number().over(wp))
       .filter(col("prank") <= capExpr)
       .drop("prank")
