@@ -423,13 +423,22 @@ object Bench {
          |top-k per input partition and merges k-bounded heaps, so the skewed
          |IP never concentrates an unbounded sort in one task.
          |
-         |Trade-off, stated plainly: on UNIFORM data (40 urls/ip) the heap's
-         |per-row interpreted eval is slower than the window's codegen'd
-         |small-group sort — the absolute schedule kernel rate is lower than
-         |the r2 window-based number. At 100 TB the binding constraint is the
-         |skewed-IP task (unbounded sort = stragglers/OOM), so the bounded
-         |heap is the shape that survives; the uniform-case gap is a known
-         |cost, recoverable later via codegen'd update.
+         |The r3 uniform-data gap (heap's interpreted per-row eval vs the
+         |window's codegen) is CLOSED: winner selection now runs as the
+         |WinnerDole custom exec (plans/WinnerDole.scala) — radix sort on
+         |first_ip + one streamed reused bounded heap per IP, winners
+         |written straight to UnsafeRows. Same-day A/B (tools/SchedProfile,
+         |16M rows, local[8]): dole-only 3.6 s vs the r2 window shape
+         |4.8 s — the skew-safe operator is now also the faster one on
+         |uniform data. Cross-ROUND absolute rates are box-day-confounded:
+         |the same commit measured 4.0M urls/sec on its commit day and
+         |2.7M on a later day; within-day A/Bs and the scaling ratio are
+         |the comparisons to trust. Two r4 regressions were bisected out
+         |of the kernel the same way: an unused second rule-table
+         |expression (next_lb) that Catalyst did not prune off the
+         |non-wake path (1.6M -> 3.1M when gated), and
+         |spark.shuffle.compress=false binding the 32M-row shuffle on
+         |/tmp disk bandwidth (back to lz4 default).
          |
          |Full-loop context: the loop throughput is LOWER than round 2's —
          |the iteration now carries six more subsystems (tagdb state, quota
@@ -450,12 +459,13 @@ object Bench {
          |urls/iteration the kernels above dominate).
          |
          |A carried-state variant (in-memory working set, parquet as
-         |async checkpoint — the Rdb-tree analogue) was prototyped and
-         |measured SLOWER at this scale: generations of cached lineage
-         |make Catalyst plan texts and task binaries grow across
-         |iterations, and cutting lineage (localCheckpoint) forces eager
-         |AQE materialization on the driver. The disk-chain design with
-         |delta-bucket state writes is the shape that survives.
+         |async checkpoint — the Rdb-tree analogue) is implemented and
+         |byte-identical (Config.loopChainState, LoopChainSpec) but
+         |measured SLOWER at every sandbox scale tried (r4 2x2 A/B,
+         |local[8]: ~56 vs ~67 scheduled/sec): each persist+lineage-cut
+         |point forces AQE stage materialization serially on the driver
+         |path, costing more than the tiny-parquet re-reads it saves.
+         |The delta-bucket disk chain is the default shape.
          |
          |Reference anchor (BASELINE.md): ~1 page/sec/core spider+index ⇒ a
          |32-core box ≈ 32 fetch-equivalents/sec; this engine schedules

@@ -41,6 +41,12 @@ object GbCharset {
 
   final case class Detected(id: Int, javaName: String)
 
+  /** HTTP-header charset (X17 precedence: header first, then BOM/meta/
+    * sniff — XmlDoc::getCharset). Unknown/unsupported → null, which lets
+    * detect() fall through to the document-level detection. */
+  def fromHttpHeader(name: String): Detected =
+    if (name == null || name.isEmpty) null else ianaLookup(name)
+
   /** get_iana_charset analogue for names seen in meta tags (lowercased,
     * practical subset of iana_charset.cpp's alias table; unknown → null). */
   private[core] def ianaLookup(nameRaw: String): Detected = {

@@ -78,6 +78,11 @@ object Crawl {
       // X16 Url::isSpam gate — the reference's doUrlSpamCheck collection
       // param, default "0"/off (Parms.cpp:17164)
       doUrlSpamCheck: Boolean = false,
+      // A9: crawl limits driving the SP_* status taxonomy
+      // (CollectionRec m_maxToCrawl / m_maxCrawlRounds; the reference
+      // stops doling and flips m_spiderStatus when a cap is reached)
+      maxToCrawl: Long = -1L, // stop once successful downloads reach this
+      maxRounds: Int = -1, // stop after this many spider rounds
       // tagdb: cap on the distinct inlinking c-blocks tracked per SITE
       // (the Msg25 "good inlinks, 1 per c block" analogue; the reference
       // bounds work per site via Msg25's inlink limits — LinkInfo.cpp
@@ -1477,8 +1482,40 @@ object Crawl {
 
   // ----------------------------------------------------------- iteration
 
+  /** A9: CollectionRec::m_spiderStatus values (Spider.h:32-42) and the
+    * getSpiderStatusMsg texts (Spider.cpp:14540-14700, sandbox subset —
+    * the admin-pause/repair states need a live cluster to mean anything). */
+  object SpiderStatus {
+    val Initializing = 0
+    val MaxRounds = 1
+    val MaxToCrawl = 2
+    val MaxToProcess = 3
+    val RoundDone = 4
+    val NoUrls = 5
+    val Paused = 6
+    val InProgress = 7
+    val AdminPaused = 8
+    val Completed = 9
+    val SeedsError = 10
+    def msg(st: Int): String = st match {
+      case Initializing => "Initializing."
+      case MaxRounds => "Job has reached maxRounds limit."
+      case MaxToCrawl => "Job has reached maxToCrawl limit."
+      case MaxToProcess => "Job has reached maxToProcess limit."
+      case RoundDone => "Round done."
+      case NoUrls => "Job is initializing."
+      case Paused => "Job paused."
+      case InProgress => "Job is in progress."
+      case AdminPaused => "Spidering disabled in master controls."
+      case Completed => "Job has completed and no repeat is scheduled."
+      case SeedsError => "All seeds had an error preventing crawling."
+      case _ => "Unknown status."
+    }
+  }
+
   final case class IterationResult(scheduled: Long, fetched: Long, robotsDenied: Long,
-                                   errors: Long, newUrls: Long, dupsDropped: Long)
+                                   errors: Long, newUrls: Long, dupsDropped: Long,
+                                   status: Int = SpiderStatus.InProgress)
 
   /** In-memory continuation of the crawl loop between compactions: every
     * state input an iteration needs, as LAZY plans over the persisted
@@ -2301,27 +2338,58 @@ object Crawl {
     // read (compaction, end of run) — the on-disk chain is identical to
     // the legacy per-iteration-synchronous one.
     var st: Option[LoopState] = None
-    val out = (start until start + iterations).map { i =>
+    // A9: collection-level crawl status (CollectionRec::m_spiderStatus).
+    // Rounds increment at exhaustion boundaries (spiderRoundIncremented,
+    // Spider.cpp:14296: ROUNDDONE when a dole cycle schedules nothing);
+    // the caps stop the loop like the reference stops doling.
+    var downloaded = 0L
+    var round = 1
+    var stopStatus = -1
+    val out = scala.collection.mutable.ListBuffer[IterationResult]()
+    var i = start
+    while (i < start + iterations && stopStatus < 0) {
       val it0 = System.nanoTime()
-      val (r, nextSt) = runIterationChained(spark, workdir, i, pages, robots, hostMeta,
+      val (r0, nextSt) = runIterationChained(spark, workdir, i, pages, robots, hostMeta,
         cfg, redirClosure, chained = st, async = cfg.loopChainState)
       if (cfg.loopChainState) st = Some(nextSt)
+      downloaded += r0.fetched
+      val status =
+        if (cfg.maxToCrawl >= 0 && downloaded >= cfg.maxToCrawl) SpiderStatus.MaxToCrawl
+        else if (r0.scheduled == 0) {
+          // round exhausted; MAXROUNDS conversion (Spider.cpp:14606-14633)
+          val s = if (cfg.maxRounds >= 0 && round >= cfg.maxRounds)
+            SpiderStatus.MaxRounds else SpiderStatus.RoundDone
+          round += 1
+          s
+        } else SpiderStatus.InProgress
+      if (status == SpiderStatus.MaxToCrawl || status == SpiderStatus.MaxRounds)
+        stopStatus = status
+      val r = r0.copy(status = status)
+      writeStatus(workdir, i, status, downloaded, round)
       if (timing) println(f"[iter $i] iter_wall        ${(System.nanoTime() - it0) / 1e9}%6.2f s")
-      if (i % compactEvery == 0) {
+      if (i % compactEvery == 0 || stopStatus >= 0) {
         val c0 = System.nanoTime()
         st.foreach(_.drain())
-        compact(spark, workdir, i, cfg)
+        if (i % compactEvery == 0) compact(spark, workdir, i, cfg)
         // re-root the chain on the compacted snapshot and release every
         // cache the pre-compaction plans leaned on
         st.foreach(_.freeCaches())
-        if (cfg.loopChainState) st = Some(loadLoopState(spark, workdir, i, cfg))
+        st = if (cfg.loopChainState && stopStatus < 0)
+          Some(loadLoopState(spark, workdir, i, cfg)) else None
         if (timing) println(f"[iter $i] compact_wall     ${(System.nanoTime() - c0) / 1e9}%6.2f s")
       }
-      r
+      out += r
+      i += 1
     }
     st.foreach { s => s.drain(); s.freeCaches() }
     redirClosure.unpersist()
     pages.unpersist()
-    out
+    out.toSeq
   }
+
+  /** A9: collection-level status file (the m_spiderStatus analogue --
+    * status lives on the collection, not in any snapshot table). */
+  def writeStatus(workdir: String, i: Int, status: Int, downloaded: Long, round: Int): Unit =
+    Files.writeString(Paths.get(s"$workdir/STATUS.json"),
+      s"""{"iteration":$i,"spider_status":$status,"status_msg":"${SpiderStatus.msg(status)}","downloaded":$downloaded,"round":$round}""")
 }

@@ -99,6 +99,9 @@ object Search {
       .select(col("doc_id"), col("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k) // TakeOrderedAndProject — TopTree's bounded heap
+      // unpartitioned window is fine HERE (Spark's single-partition
+      // warning notwithstanding): its input is the k-row top-k result,
+      // never the corpus — one tiny task assigns the final ranks
       .withColumn("rank", row_number().over(
         Window.orderBy(col("score").desc, col("doc_id").asc)))
   }

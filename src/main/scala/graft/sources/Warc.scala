@@ -21,7 +21,9 @@ import graft.frontier.PageRow
 object Warc {
 
   final case class WarcRecord(url: String, date: String, httpStatus: Int,
-                              contentType: String, body: Array[Byte])
+                              contentType: String, body: Array[Byte],
+                              charset: String = "",
+                              ctId: Int = graft.core.GbHttpMime.CtHtml)
 
   private val CRLF2 = "\r\n\r\n".getBytes(StandardCharsets.US_ASCII)
 
@@ -58,19 +60,16 @@ object Warc {
       if (fields.get("warc-type").contains("response")) {
         val url = fields.getOrElse("warc-target-uri", "")
         val date = fields.getOrElse("warc-date", "")
-        // content is an HTTP response: status line + headers + CRLF2 + body
-        val httpEnd = indexOf(bytes, CRLF2, contentStart)
-        if (url.nonEmpty && httpEnd >= 0 && httpEnd < contentEnd) {
-          val httpHeader = new String(bytes, contentStart, httpEnd - contentStart, StandardCharsets.ISO_8859_1)
-          val lines = httpHeader.split("\r\n")
-          val status = lines.headOption.flatMap { sl =>
-            val p = sl.split(" ")
-            if (p.length >= 2) scala.util.Try(p(1).toInt).toOption else None
-          }.getOrElse(200)
-          val ct = lines.drop(1).find(_.toLowerCase.startsWith("content-type:"))
-            .map(_.substring(13).trim).getOrElse("")
-          val body = java.util.Arrays.copyOfRange(bytes, httpEnd + 4, contentEnd)
-          out += WarcRecord(url, date, status, ct, body)
+        // content is an HTTP response: the X17 HttpMime port parses the
+        // status line + headers (reference boundary/charset/location
+        // quirks preserved — core/GbHttpMime.scala)
+        val http = java.util.Arrays.copyOfRange(bytes, contentStart, contentEnd)
+        graft.core.GbHttpMime.parse(http) match {
+          case Some(m) if url.nonEmpty =>
+            val body = java.util.Arrays.copyOfRange(http, m.mimeLen, http.length)
+            out += WarcRecord(url, date, m.status, m.contentTypeRaw, body,
+              m.charset, m.contentType)
+          case _ => // no mime boundary → not an indexable response
         }
       }
       pos = contentEnd
@@ -87,7 +86,7 @@ object Warc {
       .as[Array[Byte]]
       .flatMap { blob =>
         parseWarc(blob).iterator
-          .filter(r => r.httpStatus == 200)
+          .filter(r => r.httpStatus == 200 && graft.core.GbHttpMime.isTextual(r.ctId))
           .map { r =>
             val ts = scala.util.Try(java.sql.Timestamp.from(java.time.Instant.parse(r.date)))
               .getOrElse(new java.sql.Timestamp(0L))
@@ -96,7 +95,11 @@ object Warc {
             // so non-ASCII URIs aren't UTF-8 double-encoded downstream
             val gu = graft.core.GbUrl.parseLatin1(r.url)
             val url = if (gu.isValid) gu.url else r.url
-            PageRow(url, ts, r.body, GbXml.extractText(r.body), "")
+            // X17→X7 precedence: the header's charset param wins over
+            // BOM/meta/sniff (XmlDoc::getCharset order)
+            val hdrCs = graft.core.GbCharset.fromHttpHeader(r.charset)
+            val utf8 = graft.core.GbCharset.toUtf8(r.body, hdrCs)
+            PageRow(url, ts, r.body, GbXml.extractText(utf8), "")
           }
       }
   }

@@ -32,6 +32,12 @@ object GraftShim {
       org.apache.spark.sql.execution.LogicalRDD.fromDataset(rdd, cdf, isStreaming = false))
   }
 
+  /** Formatted physical plan text (the `.explain("formatted")` output)
+    * — used by tools.GenPlans to regenerate PLANS.md. */
+  def explainFormatted(df: Dataset[_]): String =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
   /** Idempotently add a planning strategy to the session
     * (ExperimentalMethods lives on the classic session). */
   def registerStrategy(spark: SparkSession, s: org.apache.spark.sql.execution.SparkStrategy): Unit = {
