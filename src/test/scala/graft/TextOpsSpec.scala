@@ -96,17 +96,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(pairs.subsetOf(exact), s"LSH path reported pairs the exact op rejects: ${pairs -- exact}")
   }
 
-  test("multimodal stub decode: deterministic shapes") {
+  test("media decode: non-image blobs are filterable, never fail the pipeline") {
     import spark.implicits._
+    // text bytes are NOT media: the real header decode (r4) must mark
+    // them unknown/-1 rather than invent dimensions or throw, and the
+    // feature histogram stays a fixed 8-wide vector (the downstream
+    // schema contract). Real-format parsing is pinned by MediaDecodeSpec.
     val df = docs().withColumn("blob", encode(col("text"), "UTF-8"))
     val out = TextOps.decodeMedia(df, "blob", "doc_id").collect()
     assert(out.length == 5)
     out.foreach { r =>
-      assert(r.getAs[Int]("width") >= 64 && r.getAs[Int]("width") < 512 + 64)
+      assert(r.getAs[String]("format") == "unknown")
+      assert(r.getAs[Int]("width") == -1 && r.getAs[Int]("height") == -1)
       assert(r.getAs[scala.collection.Seq[Float]]("features").length == 8)
     }
     // identical blobs decode identically
-    val w = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("width")).toMap
-    assert(w(0L) == w(1L))
+    val f = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[scala.collection.Seq[Float]]("features")).toMap
+    assert(f(0L) == f(1L))
   }
 }
