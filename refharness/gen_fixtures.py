@@ -105,6 +105,35 @@ FIX["f70_iso88591_meta_high"] = ("<head><meta charset=iso-8859-1></head>"
 FIX["f71_cp1252_meta_undef"] = ("<head><meta charset=windows-1252></head>"
     "<body>undef [\x8d] dag [\x86]</body>").encode("latin-1")
 
+# --- the CJK long tail (r5): Big5 + the EUC-KR alias family + a 4-byte
+# GB18030 sequence — pins where iconv (reference) and java.nio (engine)
+# could diverge: the reference maps the alias "EUC-KR" to iconv EUC-KR
+# but "KS_C_5601-1987" to x-windows-949 (iana_charset.cpp:184-193), and
+# CP949 is a superset of EUC-KR on extended hangul.
+FIX["f72_big5_meta"] = ("<head><meta charset=big5></head><body>".encode("ascii")
+    + "中文測試繁體字網頁".encode("big5")
+    + " tail</body>".encode("ascii"))
+FIX["f73_euckr_meta"] = ("<head><meta charset=euc-kr></head><body>".encode("ascii")
+    + "한국어 테스트 문서 내용".encode("euc_kr")
+    + "</body>".encode("ascii"))
+# KS_C_5601-1987 label, CP949-EXTENDED bytes: 똠/뷁 are encodable in
+# cp949 (UHC extension area) but NOT in strict KS X 1001 euc-kr
+FIX["f74_ksc_alias_cp949ext"] = (
+    "<head><meta http-equiv=\"Content-Type\" content=\"text/html; "
+    "charset=ks_c_5601-1987\"></head><body>".encode("ascii")
+    + "똠방각하 뷁".encode("cp949")
+    + " end</body>".encode("ascii"))
+# euc-kr label over the SAME extended bytes: iconv EUC-KR rejects them
+# (bad-byte path) while a 949 decoder accepts — whichever the reference
+# does is the golden
+FIX["f75_euckr_label_cp949ext"] = (
+    "<head><meta charset=euc-kr></head><body>".encode("ascii")
+    + "뷁".encode("cp949")
+    + " after</body>".encode("ascii"))
+FIX["f76_gb18030_4byte"] = ("<head><meta charset=gb18030></head><body>".encode("ascii")
+    + "中文 𝄞 四字节".encode("gb18030")
+    + "</body>".encode("ascii"))
+
 for name, data in FIX.items():
     with open(os.path.join(OUT, name + ".html"), "wb") as f:
         f.write(data)

@@ -313,7 +313,14 @@ object SparkEntry {
     // site-clustered top-k over the documents table
     "q2_search_topk" -> ((s, d) =>
       graft.search.Search.searchTopK(read(s, d, "documents"),
-        "doc_id", "text", "source", "spark hash merge", 20))
+        "doc_id", "text", "source", "spark hash merge", 20)),
+    // q2 + the windowed proximity bonus (Posdb.cpp:1266 sliding-window
+    // idea at its simplest): +10 per unordered pair of different query
+    // terms within 8 token positions
+    "q3_search_prox" -> ((s, d) =>
+      graft.search.Search.searchTopK(read(s, d, "documents"),
+        "doc_id", "text", "source", "spark hash merge", 20,
+        proxWindow = 8, proxBonus = 10L))
   )
 
   /** Builds a DuckDB VALUES oracle from a committed golden tsv. `cols`:
@@ -355,6 +362,19 @@ object SparkEntry {
       ("WITH toks AS (SELECT doc_id, source, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w FROM documents), " +
         "tf AS (SELECT doc_id, source, w, count(*) AS tf FROM toks WHERE w IN ('spark','hash','merge') GROUP BY 1,2,3), " +
         "scored AS (SELECT doc_id, source, sum(tf) AS score FROM tf GROUP BY 1,2 HAVING count(DISTINCT w) = 3), " +
+        "clustered AS (SELECT doc_id, score FROM (SELECT doc_id, score, row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS sr FROM scored) WHERE sr <= 2), " +
+        "topk AS (SELECT doc_id, CAST(score AS BIGINT) AS score FROM clustered ORDER BY score DESC, doc_id ASC LIMIT 20) " +
+        "SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank FROM topk"),
+    "q3_search_prox" ->
+      ("WITH toks AS (SELECT doc_id, source, unnest(arr) AS w, generate_subscripts(arr, 1) - 1 AS pos " +
+        "FROM (SELECT doc_id, source, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS arr FROM documents)), " +
+        "posts AS (SELECT doc_id, source, w, pos FROM toks WHERE w IN ('spark','hash','merge')), " +
+        "tf AS (SELECT doc_id, source, w, count(*) AS tf FROM posts GROUP BY 1,2,3), " +
+        "base AS (SELECT doc_id, source, sum(tf) AS base_score FROM tf GROUP BY 1,2 HAVING count(DISTINCT w) = 3), " +
+        "near AS (SELECT a.doc_id AS doc_id, count(*) AS n_near FROM posts a JOIN posts b " +
+        "ON a.doc_id = b.doc_id AND a.w < b.w AND abs(a.pos - b.pos) <= 8 GROUP BY 1), " +
+        "scored AS (SELECT base.doc_id AS doc_id, source, base_score + 10 * coalesce(n_near, 0) AS score " +
+        "FROM base LEFT JOIN near ON base.doc_id = near.doc_id), " +
         "clustered AS (SELECT doc_id, score FROM (SELECT doc_id, score, row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS sr FROM scored) WHERE sr <= 2), " +
         "topk AS (SELECT doc_id, CAST(score AS BIGINT) AS score FROM clustered ORDER BY score DESC, doc_id ASC LIMIT 20) " +
         "SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank FROM topk"),

@@ -9,14 +9,16 @@ package graft.core
   *  - the mime boundary accepts `\r\r`, `\n\n`, `\r\n\r\n` AND `\n\r\n\r`
   *    (getMimeLen), and a buffer under 13 bytes is "no mime";
   *  - the status is whatever integer follows the first whitespace run on
-  *    the first line (`atol2` — stray leading '+'/'-' accepted, no
-  *    HTTP/x.x validation);
+  *    the first line (`atol2` — a stray leading '-' accepted, no
+  *    HTTP/x.x validation); an all-whitespace header is no mime at all
+  *    (parse() returns false, HttpMime.cpp:137);
   *  - an absent Content-Type means CT_HTML (`parse` pre-seeds it);
   *  - the charset is taken ONLY from a `;charset=` parameter of
   *    Content-Type (spaces around `=` tolerated), terminated by
   *    space/tab/CR/LF;
-  *  - Content-Encoding matches by substring: anything containing "gzip"
-  *    is gzip, else anything containing "deflate" is deflate;
+  *  - Content-Encoding matches by CASE-SENSITIVE substring (strstr):
+  *    anything containing "gzip" is gzip, else anything containing
+  *    "deflate" is deflate — "GZIP" is neither;
   *  - Location: skips at most TWO leading spaces (the reference's two
   *    `if (*tt==' ') tt++;` lines — a third space stays in the field);
   *  - unknown content types map to CT_UNKNOWN=0, with octet-stream/
@@ -50,7 +52,7 @@ object GbHttpMime {
 
   final case class Mime(
       mimeLen: Int, // header bytes incl. boundary; content starts here
-      status: Int, // atol2 of the first post-whitespace token (-1 only when the mime is all first-line whitespace)
+      status: Int, // atol2 of the first post-whitespace token (0 when non-numeric)
       contentLen: Long, // -1 when absent
       contentType: Int, // CT_* id; CT_HTML when header absent
       contentTypeRaw: String, // the field text up to ';' (trimmed)
@@ -96,7 +98,10 @@ object GbHttpMime {
     val n = mime.length
     while (p < n && !isWs(mime.charAt(p))) p += 1
     while (p < n && isWs(mime.charAt(p))) p += 1
-    val status = if (p >= n) -1 else atol2(mime, p).toInt
+    // all-whitespace header → parse() returns false in the reference
+    // (HttpMime.cpp:137 `if (p == pend) return false`): no mime at all
+    if (p >= n) return None
+    val status = atol2(mime, p).toInt
 
     var contentLen = -1L
     var ct = CtHtml
@@ -141,9 +146,11 @@ object GbHttpMime {
         if (t < line.length && line.charAt(t) == ' ') t += 1
         location = line.substring(math.min(t, line.length))
       } else if (startsWithIgnoreCase(line, "Content-Encoding:")) {
+        // the value match is CASE-SENSITIVE strstr in the reference
+        // (HttpMime.cpp:202,205): "GZIP" does NOT set gzip there
         val v = line.substring(17)
-        if (v.toLowerCase.contains("gzip")) gzip = true
-        else if (v.toLowerCase.contains("deflate")) deflate = true
+        if (v.contains("gzip")) gzip = true
+        else if (v.contains("deflate")) deflate = true
       }
       ls = le
       while (ls < n && (mime.charAt(ls) == '\r' || mime.charAt(ls) == '\n')) ls += 1
@@ -189,6 +196,16 @@ object GbHttpMime {
   /** Does the reference index this content type as a document body?
     * (XmlDoc gates text docs on html/text/xml.) */
   def isTextual(ct: Int): Boolean = ct == CtHtml || ct == CtText || ct == CtXml
+
+  /** CTs the engine indexes DIRECTLY (no external converter). The
+    * reference's indexability list (XmlDoc.cpp:3897-3903, 4012-4020)
+    * also accepts PDF/XLS/PPT/PS/DOC — via gbfilter conversion
+    * (pdftohtml/antiword/pstotext, XmlDoc.cpp:19192); with no filter
+    * binary those fall to EDOCBADCONTENTTYPE (the no-filter branch,
+    * XmlDoc.cpp:19010-19014). This sandbox ships no converters, so the
+    * fetch path maps every non-text CT there. */
+  def isIndexable(ct: Int): Boolean =
+    ct == CtHtml || ct == CtText || ct == CtXml || ct == CtJson
 
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' || c == 11 // is_wspace_a

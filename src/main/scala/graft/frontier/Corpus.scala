@@ -205,6 +205,11 @@ object Corpus {
       sb.append(s"""<a href="http://${host(0)}/">hub</a> """)
       // a media link to exercise the ismedia delete rule
       sb.append(s"""<a href="/logo$k.jpg">logo</a> """)
+      // X17/CT fixture: hosts k≡2 (mod 8) serve a real PDF url (pdf is
+      // NEITHER ismedia NOR a bad extension, so it schedules and
+      // downloads; the fetch classifies the MIME content type and
+      // rejects it with EDOCBADCONTENTTYPE — no converter binaries)
+      if (k % 8 == 2) sb.append(s"""<a href="/doc.pdf">report</a> """)
       // a nofollow link that must NOT be harvested
       sb.append(s"""<a rel="nofollow" href="http://${host((k + 7) % spec.nHosts)}/private/">nf</a> """)
     } else if (p <= spec.sectionsPerHost) {
@@ -270,13 +275,22 @@ object Corpus {
     import spark.implicits._
     val pph = spec.pagesPerHost
     spark.range(spec.totalPages).mapPartitions { it =>
-      it.map { idx =>
+      it.flatMap { idx =>
         val k = (idx / pph).toInt
         val p = (idx % pph).toInt
         val url = pageUrl(k, p, spec)
         val html = pageBytes(k, p, spec, rev) // latin1-encoded for k≡6 leaves
         val text = GbXml.extractText(html) // verified against reference goldens (ref_text.tsv)
-        PageRow(url, warcTs(url), html, text, "en")
+        val row = PageRow(url, warcTs(url), html, text, "en")
+        // the k≡2 (mod 8) PDF url rides OUTSIDE the page-slot space so
+        // slot numbering (and ref_text golden keys) never move
+        if (p == 0 && k % 8 == 2) {
+          val pu = s"http://${host(k)}/doc.pdf"
+          val pdf = s"%PDF-1.4\n1 0 obj << /Type /Catalog >> endobj\nhost $k report\n%%EOF\n"
+            .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          Seq(row, PageRow(pu, warcTs(pu), pdf, GbXml.extractText(pdf), "en",
+            content_type = "application/pdf"))
+        } else Seq(row)
       }
     }
   }

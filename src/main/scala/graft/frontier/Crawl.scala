@@ -82,7 +82,7 @@ object Crawl {
       // (CollectionRec m_maxToCrawl / m_maxCrawlRounds; the reference
       // stops doling and flips m_spiderStatus when a cap is reached)
       maxToCrawl: Long = -1L, // stop once successful downloads reach this
-      maxRounds: Int = -1, // stop after this many spider rounds
+      maxRounds: Int = -1, // stop after this many spider rounds (<=0: no limit, like m_maxCrawlRounds)
       // tagdb: cap on the distinct inlinking c-blocks tracked per SITE
       // (the Msg25 "good inlinks, 1 per c block" analogue; the reference
       // bounds work per site via Msg25's inlink limits — LinkInfo.cpp
@@ -448,8 +448,22 @@ object Crawl {
         .withColumn("page_num_inlinks", coalesce(col("pni"), lit(0)))
 
       // latest reply per uh48: lexicographic struct max on
-      // (spidered_time, download_end_time) — no object shuffle
-      val latestRep = repliesFiltered(replies.toDF(), now, cfg) // F7
+      // (spidered_time, download_end_time) — no object shuffle.
+      // A3 due-IP pruning on the REPLY side too: J1 joins on
+      // (first_ip, uh48) and non-due requests are discarded above, so
+      // a non-due IP's replies can never reach the output — the
+      // semi-join below the aggregate is exact, and the reply scan +
+      // latest-reply shuffle become O(due slices) instead of
+      // O(crawled), matching the reference's per-IP spiderdb read
+      // which covers that IP's requests AND replies in one list
+      // (Spider.cpp:3805 readListFromSpiderdb; key layout
+      // Spider.h:370-377).
+      val repBase = repliesFiltered(replies.toDF(), now, cfg) // F7
+      val repPruned = dueIps match {
+        case Some(due) => repBase.join(due, Seq("first_ip"), "left_semi")
+        case None => repBase
+      }
+      val latestRep = repPruned
         .groupBy("first_ip", "uh48").agg(
         max(struct(col("spidered_time"), col("download_end_time"),
           col("err_code"), col("err_count"), col("http_status"))).as("r"))
@@ -694,7 +708,9 @@ object Crawl {
     }
     val base = withHost
       .join(robots.toDF().withColumnRenamed("host", "rhost"), col("host") === col("rhost"), "left_outer")
-      .join(pages.toDF().select(col("url").as("purl"), col("html"), col("lang").as("plang")), col("eff_url") === col("purl"), "left_outer")
+      .join(pages.toDF().select(col("url").as("purl"), col("html"), col("lang").as("plang"),
+        col("header_charset").as("pcs"), col("content_type").as("pct")),
+        col("eff_url") === col("purl"), "left_outer")
 
     val ua = cfg.userAgent
 
@@ -709,15 +725,16 @@ object Crawl {
     // once per frame subtree; pages is persisted by the caller, so this
     // extra slim join is a cache read
     val parentSlim = withHost.select(col("uh48"), col("eff_url"))
-      .join(pages.toDF().select(col("url").as("pp_url"), col("html")),
+      .join(pages.toDF().select(col("url").as("pp_url"), col("html"),
+          col("header_charset").as("pp_cs")),
         col("eff_url") === col("pp_url"), "inner")
-      .select(col("uh48"), col("eff_url"), col("html"))
+      .select(col("uh48"), col("eff_url"), col("html"), col("pp_cs"))
     val frameCands = parentSlim
-      .as[(Long, String, Array[Byte])]
-      .flatMap { case (uh, eu, html) =>
+      .as[(Long, String, Array[Byte], String)]
+      .flatMap { case (uh, eu, html, cs) =>
         if (!graft.core.GbIframe.mayHaveFrames(html)) Nil
         else {
-          val raw = graft.core.GbCharset.toUtf8(html)
+          val raw = graft.core.GbCharset.toUtf8(html, graft.core.GbCharset.fromHttpHeader(cs))
           graft.core.GbIframe.candidates(raw, GbUrl.parse(eu)).map(c => (uh, c.url))
         }
       }.toDF("f_uh48", "f_src")
@@ -725,29 +742,33 @@ object Crawl {
     // duplicate (uh48, src) pairs collapse in the map — a distinct here
     // was one more shuffle per iteration for nothing
     val frameContents = frameCands
-      .join(pages.toDF().select(col("url").as("fp_url"), col("html").as("fp_html")),
+      .join(pages.toDF().select(col("url").as("fp_url"), col("html").as("fp_html"),
+          col("header_charset").as("fp_cs")),
         col("f_src") === col("fp_url"), "inner") // 404 frames drop out (nukeDoc-continue)
       .withColumn("f_host", graft.functions.GraftFunctions.urlHost(col("f_src")))
       .join(robots.toDF().select(col("host").as("fr_host"), col("body").as("fr_body")),
         col("f_host") === col("fr_host"), "left_outer")
       .select(col("f_uh48").as[Long], col("f_src").as[String],
-        col("fp_html").as[Array[Byte]], col("fr_body").as[Array[Byte]])
-      .flatMap { case (uh, src, fhtml, fRobots) =>
+        col("fp_html").as[Array[Byte]],
+        struct(col("fr_body").as("rb"), col("fp_cs").as("cs")).as[(Array[Byte], String)])
+      .flatMap { case (uh, src, fhtml, (fRobots, fcs)) =>
         val fu = GbUrl.parse(src)
         val pathCgi = if (fu.isValid) fu.url.substring(fu.pathOff) else "/"
         val allowed = fRobots == null || Robots.evaluate(pathCgi, fRobots, ua)._1
         if (!allowed) None // robots-denied frame → no content (XmlDoc.cpp:19747)
         else Some((uh, graft.core.GbIframe.FrameContent(src,
-          graft.core.GbCharset.toUtf8(fhtml), fu.extension.equalsIgnoreCase("js"))))
+          graft.core.GbCharset.toUtf8(fhtml, graft.core.GbCharset.fromHttpHeader(fcs)),
+          fu.extension.equalsIgnoreCase("js"))))
       }.toDF("e_uh48", "fc")
     val expansions = frameContents
       .groupBy("e_uh48").agg(collect_list(col("fc")).as("fcs"))
-      .join(parentSlim.select(col("uh48").as("b_uh48"), col("eff_url").as("b_eff"), col("html").as("b_html")),
+      .join(parentSlim.select(col("uh48").as("b_uh48"), col("eff_url").as("b_eff"),
+          col("html").as("b_html"), col("pp_cs").as("b_cs")),
         col("e_uh48") === col("b_uh48"), "inner")
-      .select(col("e_uh48").as[Long], col("b_eff").as[String],
+      .select(col("e_uh48").as[Long], struct(col("b_eff").as("eu"), col("b_cs").as("cs")).as[(String, String)],
         col("b_html").as[Array[Byte]], col("fcs").as[Seq[graft.core.GbIframe.FrameContent]])
-      .map { case (uh, eu, html, fcs) =>
-        val raw = graft.core.GbCharset.toUtf8(html)
+      .map { case (uh, (eu, cs), html, fcs) =>
+        val raw = graft.core.GbCharset.toUtf8(html, graft.core.GbCharset.fromHttpHeader(cs))
         val m = fcs.map(f => f.url -> f).toMap
         (uh, graft.core.GbIframe.expand(raw, GbUrl.parse(eu), m))
       }.toDF("x_uh48", "expanded")
@@ -764,13 +785,13 @@ object Crawl {
         col("body").as[Array[Byte]],
         col("html").as[Array[Byte]],
         col("plang").as[String],
-        struct(col("redir_err"), col("redir_final"), col("old_vec"), col("expanded"))
-          .as[(Int, String, Array[Int], Array[Byte])]
+        struct(col("redir_err"), col("redir_final"), col("old_vec"), col("expanded"), col("pcs"), col("pct"))
+          .as[(Int, String, Array[Int], Array[Byte], String, String)]
       )
 
     joined
       .repartition(col("task.first_ip"))
-      .map { case (task, robotsBody, html, plang, (redirErr, redirFinal, oldVec, expanded)) =>
+      .map { case (task, robotsBody, html, plang, (redirErr, redirFinal, oldVec, expanded, pcs, pct)) =>
         // parse the EFFECTIVE url: content/links/robots are evaluated at
         // the redirect target (the reference's current url after follows)
         val effUrl = if (redirErr == 0 && redirFinal != null) redirFinal else task.url
@@ -845,13 +866,24 @@ object Crawl {
         } else if (html == null) {
           FetchResult(task, found = false, allowed = true, cd, 404, Errs.EDOCBADHTTPSTATUS,
             "", 0, downloadEnd, Nil, "")
+        } else if (!graft.core.GbHttpMime.isIndexable(
+            graft.core.GbHttpMime.contentTypeFromStr(
+              if (pct == null || pct.isEmpty) "text/html" else pct))) {
+          // X17 CT classification of the DOWNLOADED mime: non-text
+          // types (incl. PDF — no converter binaries in this sandbox,
+          // the reference's no-gbfilter branch, XmlDoc.cpp:19010-19014)
+          // index as EDOCBADCONTENTTYPE; absent header pre-seeds
+          // CT_HTML like HttpMime::parse
+          FetchResult(task, found = false, allowed = true, cd, 200, Errs.EDOCBADCONTENTTYPE,
+            "", 0, downloadEnd, Nil, "")
         } else {
           // X7-X10: the byte-exact extraction pipeline (charset → UTF-8
           // first: getRawUtf8Content, then iframe expansion
           // (getExpandedUtf8Content — precomputed via the frame-content
           // join when the page bears frame tags), then the
           // getUtf8Content chain)
-          val work = if (expanded != null) expanded else graft.core.GbCharset.toUtf8(html)
+          val work = if (expanded != null) expanded
+            else graft.core.GbCharset.toUtf8(html, graft.core.GbCharset.fromHttpHeader(pcs))
           GbXml.sanitizeUtf8(work)
           val decoded = GbXml.htmlDecode(work, doSpecial = true)
           val norm = GbXml.normalizeAfterDecode(decoded)
@@ -1199,22 +1231,30 @@ object Crawl {
     * fps) pay the exact left_anti join so the final seen-set is
     * byte-exact (SURVEY §7 risk 4). */
   def admitNew(candidates: Dataset[FrontierRequest],
-               existing: Dataset[FrontierRequest],
+               seen: DataFrame,
                bloomTable: DataFrame,
-               cfg: Config): Dataset[FrontierRequest] = {
-    val spark = candidates.sparkSession
-    import spark.implicits._
+               cfg: Config): Dataset[FrontierRequest] =
     // no persist: the candidates' expensive upstream (resolveOutlinks)
-    // is already cached by the caller, so the two consumers below just
+    // is already cached by the caller, so the two consumers just
     // re-run the cheap bloom probe — a persist here leaked one cached
     // dataset per iteration (never unpersisted, OOMing long loops)
-    val tagged = SeenBloom.tagged(candidates, bloomTable, cfg.seenBuckets)
+    admitTagged(SeenBloom.tagged(candidates, bloomTable, cfg.seenBuckets), seen)
+
+  /** The exact half of J2 over pre-tagged candidates: bloom-negatives
+    * are definitely new; positives (incl. false positives) pay the
+    * exact left_anti against `seen` (a uh48 table — the full frontier
+    * column on legacy workdirs, or ONLY the positives' touched buckets
+    * of the seen_uh48 chain, which is what makes admission O(delta)
+    * end-to-end). No distinct() on the seen side: left_anti is
+    * set-semantics already, and the distinct was a full extra shuffle
+    * per iteration (uh48 is near-unique by the write invariant). */
+  def admitTagged(tagged: Dataset[(FrontierRequest, Boolean)],
+                  seen: DataFrame): Dataset[FrontierRequest] = {
+    val spark = tagged.sparkSession
+    import spark.implicits._
     val definitelyNew = tagged.filter(!_._2).map(_._1)
-    // no distinct() on the seen side: left_anti is set-semantics already,
-    // and the distinct was a full extra shuffle of the seen set per
-    // iteration (uh48 is near-unique in requests by the write invariant)
     val checked = tagged.filter(_._2).map(_._1)
-      .join(existing.select("uh48"), Seq("uh48"), "left_anti").as[FrontierRequest]
+      .join(seen.select("uh48"), Seq("uh48"), "left_anti").as[FrontierRequest]
     definitelyNew.union(checked)
   }
 
@@ -1297,11 +1337,23 @@ object Crawl {
     // request runs under a fake docid-derived ip (PageReindex.cpp:454,
     // 460) and must still find its old doc, so this join keys on uh48
     // alone, latest OK reply across ips.
-    val old = latestReplies(priorReplies)
-      .filter(r => r.err_code == Errs.OK && r.spidered_time > 0)
-      .map(r => (r.uh48, r.spidered_time))
-      .toDF("o_uh48", "o_time0")
-      .groupBy("o_uh48").agg(max(col("o_time0")).as("o_time"))
+    // O(batch), not O(crawled): the lookup is left-joined to this
+    // batch's replies on uh48, so prior replies of urls outside the
+    // batch can never contribute — semi-join them away BEFORE the
+    // latest-reply aggregate (the reference reads only the due slice's
+    // spiderdb list, which holds its replies, Spider.cpp:3805). The
+    // per-(first_ip, uh48) latest pick is the same lexicographic
+    // struct max the schedule uses (latestReplies' order), expressed
+    // natively — no object shuffle on the reply rows.
+    val batchKeys = fresh.select("uh48").distinct()
+    val old = priorReplies.toDF()
+      .join(batchKeys, Seq("uh48"), "left_semi")
+      .groupBy("first_ip", "uh48")
+      .agg(max(struct(col("spidered_time"), col("download_end_time"),
+        col("err_code"))).as("r"))
+      .filter(col("r.err_code") === Errs.OK && col("r.spidered_time") > 0)
+      .groupBy("uh48").agg(max(col("r.spidered_time")).as("o_time"))
+      .withColumnRenamed("uh48", "o_uh48")
     fresh
       .join(old, col("uh48") === col("o_uh48"), "left_outer")
       .withColumn("percent_changed_per_day",
@@ -1370,6 +1422,26 @@ object Crawl {
       .groupBy("uh48")
       .agg(max(struct(col("spidered_time"), col("sample_vec"))).as("s"))
       .select(col("uh48"), col("s.sample_vec").as("sample_vec"))
+
+  /** title_vecs StateTable chain present at or below snapshot i (else
+    * the loader falls back to deriving vectors from titledb). */
+  def vecChainExists(workdir: String, i: Int): Boolean =
+    (0 to i).exists(k => new java.io.File(s"${snapDir(workdir, k)}/title_vecs").exists)
+
+  private[graft] def emptyVecs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[(Long, Array[Int])].toDF("uh48", "sample_vec")
+  }
+
+  /** seen_uh48 StateTable chain present at or below snapshot i (else
+    * J2's exact side falls back to the requests uh48 column). */
+  def seenChainExists(workdir: String, i: Int): Boolean =
+    (0 to i).exists(k => new java.io.File(s"${snapDir(workdir, k)}/seen_uh48").exists)
+
+  private[graft] def emptySeen(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[Long].toDF("uh48")
+  }
 
   /** Bucket count for a keyed state table's LSM chain, read from the
     * chain's own full marker (StateTable.bucketsOf): chosen per table at
@@ -1536,6 +1608,9 @@ object Crawl {
       ipCounts: DataFrame,
       ipNext: Option[DataFrame],
       titleVecs: DataFrame, // (uh48, sample_vec) — loadTitleVecs shape
+      vecsOnDisk: Boolean, // title_vecs StateTable chain exists (else derived from titledb)
+      seenUh48: DataFrame, // (uh48) — the URL-seen exact set (J2's anti-join right side)
+      seenOnDisk: Boolean, // seen_uh48 StateTable chain exists (else derived from requests)
       bloom: DataFrame,
       bloomOnDisk: Boolean,
       buckets: Map[String, Int], // keyed-state bucket counts (constant between compactions)
@@ -1563,11 +1638,36 @@ object Crawl {
       quotaState = loadQuotaState(spark, workdir, i),
       ipCounts = loadIpCounts(spark, workdir, i),
       ipNext = loadIpNext(spark, workdir, i, cfg),
-      titleVecs = loadTitleVecs(spark, workdir, i),
+      titleVecs = {
+        // O(delta) path: the title_vecs StateTable chain already holds
+        // latest-per-uh48 vectors (no per-iteration O(crawled) titledb
+        // scan + re-aggregate); pre-chain workdirs derive from titledb
+        // once and the next iteration writes the chain full.
+        if (vecChainExists(workdir, i))
+          StateTable.load(spark, workdir, i, "title_vecs",
+            df => Seq(df("uh48")), StateTable.bucketsOf(workdir, i, "title_vecs"),
+            emptyVecs(spark))
+        else loadTitleVecs(spark, workdir, i)
+      },
+      vecsOnDisk = vecChainExists(workdir, i),
+      seenUh48 = {
+        // O(delta) path: the seen-uh48 StateTable chain holds every
+        // request uh48, bucketed so admission loads only the buckets
+        // of this batch's bloom-positive candidates; pre-chain
+        // workdirs fall back to the O(frontier) uh48 column scan and
+        // the next iteration writes the chain full.
+        if (seenChainExists(workdir, i))
+          StateTable.load(spark, workdir, i, "seen_uh48",
+            df => Seq(df("uh48")), StateTable.bucketsOf(workdir, i, "seen_uh48"),
+            emptySeen(spark))
+        else loadRequests(spark, workdir, i).select("uh48")
+      },
+      seenOnDisk = seenChainExists(workdir, i),
       bloom = loadBloom(spark, workdir, i, cfg),
       bloomOnDisk = (0 to i).exists(k =>
         new java.io.File(s"${snapDir(workdir, k)}/seen_bloom").exists),
-      buckets = Seq("ip_state", "dom_state", "inlink_state", "tag_state", "quota_state")
+      buckets = Seq("ip_state", "dom_state", "inlink_state", "tag_state",
+          "quota_state", "title_vecs", "seen_uh48")
         .map(n => n -> StateTable.bucketsOf(workdir, i, n)).toMap,
       pending = Nil,
       caches = Nil)
@@ -1664,6 +1764,26 @@ object Crawl {
     val errors = scheduled - fetched - robotsDenied
     val outlinkTotal = Option(mLog("outs")).map(_.asInstanceOf[Long]).getOrElse(0L)
 
+    // micro-batch write mode: below ~10k scheduled urls the iteration
+    // cost is pure per-job overhead — under AQE every query-stage
+    // materialization of the ~dozen tiny state-merge writes is its own
+    // Spark job (2-4× the job count, measured). Execute stage-2 writes
+    // through a sibling session with AQE off; output is byte-equivalent
+    // (AQE only re-plans), and big batches keep AQE (skew/coalescing
+    // matter there). The sibling shares the SparkContext and cache.
+    val quietWrites: Option[SparkSession] =
+      if (scheduled >= 10000L) None
+      else Some {
+        val q = spark.newSession()
+        spark.conf.getAll.foreach { case (k, v) =>
+          try q.conf.set(k, v) catch { case _: Throwable => () }
+        }
+        q.conf.set("spark.sql.adaptive.enabled", "false")
+        q
+      }
+    def qw(df: DataFrame): DataFrame =
+      quietWrites.map(q => org.apache.spark.sql.GraftShim.onSession(q, df)).getOrElse(df)
+
     // J5: resolve outlink hosts via the host_meta + tagdb joins, then
     // drop those landing on overflowed IPs (A8)
     val sAdmitPlan0 = System.nanoTime()
@@ -1675,23 +1795,77 @@ object Crawl {
       .as[FrontierRequest]
 
     val bloomTable = st.bloom
-    val fresh = admitNew(candidates, requests, bloomTable, cfg)
-      // within-batch dedup (J4) with the same merge semantics as the
-      // reference's scan-time duplicate merge (Spider.cpp:4799-4836):
-      // min hop/discovery, OR of flags (a ParentIsRSS discovery must
-      // survive a same-batch section discovery of the same url), max
-      // sni/errors; base row picked deterministically
-      .groupByKey(_.uh48).reduceGroups { (a, b) =>
-        val base =
-          if (a.added_time != b.added_time) { if (a.added_time > b.added_time) a else b }
-          else if (a.parent_doc_id <= b.parent_doc_id) a else b
-        base.copy(
-          hop_count = math.min(a.hop_count, b.hop_count),
-          discovery_time = math.min(a.discovery_time, b.discovery_time),
-          flags = a.flags | b.flags,
-          site_num_inlinks = math.max(a.site_num_inlinks, b.site_num_inlinks),
-          err_count = math.max(a.err_count, b.err_count))
-      }.map(_._2)
+
+    // touched-bucket pruning helpers (ids ≤ bucket count ≤ 65536;
+    // Catalyst compiles the membership test to one InSet node — no
+    // broadcast-build stage). Semantics identical to the chain
+    // reader's newest-bucket-wins: merged shadows touched, prior
+    // serves the rest.
+    def semiTouched(prior: DataFrame, keys: DataFrame => Seq[org.apache.spark.sql.Column], b: Int, ids: Set[Int]): DataFrame =
+      if (ids.isEmpty) prior.limit(0)
+      else prior.filter(StateTable.bucketCol(keys(prior), b).isInCollection(ids))
+    def antiTouched(prior: DataFrame, keys: DataFrame => Seq[org.apache.spark.sql.Column], b: Int, ids: Set[Int]): DataFrame =
+      if (ids.isEmpty) prior
+      else prior.filter(!StateTable.bucketCol(keys(prior), b).isInCollection(ids))
+
+    // J2's exact side, O(delta) end-to-end: the candidates are tagged
+    // by the bloom ONCE (persisted — three consumers), and the exact
+    // anti-join's right side loads ONLY the seen-chain buckets the
+    // bloom-POSITIVE candidates hash into (path-level pruning on the
+    // disk chain; InSet row pruning on a chained in-memory state).
+    // Legacy workdirs without the chain keep the O(frontier) uh48
+    // column scan and write the chain FULL this iteration.
+    val seenKeys = (df: DataFrame) => Seq(df("uh48"))
+    val bSeen =
+      if (st.seenOnDisk) st.buckets("seen_uh48")
+      else StateTable.bucketsForBytes(
+        StateTable.chainBytes(workdir, i - 1, "requests") / 16)
+    val taggedP = SeenBloom.tagged(candidates, bloomTable, cfg.seenBuckets)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seenRight =
+      if (!st.seenOnDisk) st.seenUh48
+      else {
+        import spark.implicits._
+        val pos = taggedP.filter(_._2).map(_._1.uh48).toDF("uh48")
+        val ids = StateTable.touchedBuckets(pos, seenKeys, bSeen)
+        chained match {
+          case None => StateTable.loadBuckets(spark, workdir, i - 1, "seen_uh48",
+            seenKeys, bSeen, emptySeen(spark), Some(ids))
+          case Some(_) => semiTouched(st.seenUh48, seenKeys, bSeen, ids)
+        }
+      }
+    // within-batch dedup (J4) with the same merge semantics as the
+    // reference's scan-time duplicate merge (Spider.cpp:4799-4836):
+    // min hop/discovery, OR of flags (a ParentIsRSS discovery must
+    // survive a same-batch section discovery of the same url), max
+    // sni/errors. Native struct aggregate (same shape as J1's
+    // latest-reply max) — no object serialization on the candidate
+    // path: base row = max added_time, tie → min parent_doc_id, with
+    // the whole-row struct as a deterministic final tiebreak.
+    val fresh = {
+      val adm = admitTagged(taggedP, seenRight).toDF()
+      val rowStruct = struct(adm.columns.map(col): _*)
+      adm.groupBy("uh48").agg(
+          max(struct(col("added_time"), (-col("parent_doc_id")).as("npdi"),
+            rowStruct.as("row"))).as("m"),
+          min(col("hop_count")).as("min_hop"),
+          min(col("discovery_time")).as("min_disc"),
+          expr("bit_or(flags)").as("or_flags"),
+          max(col("site_num_inlinks")).as("max_sni"),
+          max(col("err_count")).as("max_err"))
+        .select(col("m.row.uh48"), col("m.row.first_ip"), col("m.row.url"),
+          col("m.row.host_hash32"), col("m.row.dom_hash32"),
+          col("m.row.site_hash32"),
+          col("max_sni").as("site_num_inlinks"),
+          col("m.row.added_time"),
+          col("min_disc").as("discovery_time"),
+          col("min_hop").as("hop_count"),
+          col("m.row.parent_lang"),
+          col("or_flags").as("flags"),
+          col("max_err").as("err_count"),
+          col("m.row.parent_doc_id"))
+        .as[FrontierRequest]
+    }
 
     // revised re-adds for this iteration's EFAKEFIRSTIP answers (the
     // reference counts these as re-shards, not new urls —
@@ -1833,20 +2007,6 @@ object Crawl {
     }
     def await[T](f: Future[T]): T = Await.result(f, Duration.Inf)
 
-    // touched-bucket ids, collected per table inside its planned block
-    // (a tiny job on the cached delta; ids ≤ bucket count ≤ 65536, and
-    // Catalyst compiles the membership test to one InSet node — no
-    // broadcast-build stage per state table, which the r4 profile
-    // showed as two extra stages on every merge AND every forward-state
-    // complement). Semantics identical to the chain reader's
-    // newest-bucket-wins: merged shadows touched, prior serves the rest.
-    def semiTouched(prior: DataFrame, keys: DataFrame => Seq[org.apache.spark.sql.Column], b: Int, ids: Set[Int]): DataFrame =
-      if (ids.isEmpty) prior.limit(0)
-      else prior.filter(StateTable.bucketCol(keys(prior), b).isInCollection(ids))
-    def antiTouched(prior: DataFrame, keys: DataFrame => Seq[org.apache.spark.sql.Column], b: Int, ids: Set[Int]): DataFrame =
-      if (ids.isEmpty) prior
-      else prior.filter(!StateTable.bucketCol(keys(prior), b).isInCollection(ids))
-
     // ---- state merges (lazy plans; shared by the write jobs and the
     // ---- forward state)
     val bIp = st.buckets("ip_state")
@@ -1854,6 +2014,23 @@ object Crawl {
     val bInl = st.buckets("inlink_state")
     val bTag = st.buckets("tag_state")
     val bQuota = st.buckets("quota_state")
+    // title_vecs bucket count: from the chain when it exists; a
+    // pre-chain workdir writes the chain FULL this iteration, sized
+    // from the titledb chain's bytes (vectors are ~1/64 of page
+    // payloads — a migration heuristic only; the next compaction
+    // re-sizes from the vec chain's own measured bytes)
+    val bVec =
+      if (st.vecsOnDisk) st.buckets("title_vecs")
+      else StateTable.bucketsForBytes(
+        StateTable.chainBytes(workdir, i - 1, "titledb") / 64)
+
+    // per-url sample-vec delta feeding the title_vecs chain and the
+    // forward state (latest vector per uh48 — percentChanged's old-doc
+    // side on the NEXT fetch of the url)
+    val vecDelta = results.filter(_.found)
+      .map(r => (r.task.uh48, nowSecs(cfg, i),
+        if (r.sampleVec == null) Array.empty[Int] else r.sampleVec))
+      .toDF("uh48", "t", "sample_vec")
 
     val fRepDelta = plannedT("rep") { fwd(repliesOf(results, replies, cfg, i).toDF) }
 
@@ -1914,6 +2091,44 @@ object Crawl {
         .groupBy("key").agg(sum(col("n")).as("n")))
     }
 
+    // seen_uh48 merge, O(new urls + touched buckets): fresh uh48s are
+    // disjoint from the prior set by the anti-join itself, and revised
+    // re-adds keep their url's uh48 (already seen) — so the merge is a
+    // bare union of the touched buckets' prior rows with the fresh
+    // keys, no distinct. A pre-chain workdir unions the full
+    // requests-derived view once and writes the chain FULL.
+    val fSeenIds = planned {
+      if (st.seenOnDisk)
+        StateTable.touchedBuckets(freshP.toDF().select("uh48"), seenKeys, bSeen)
+      else Set.empty[Int]
+    }
+    val fMergedSeen = plannedT("seen") {
+      val seenIds = await(fSeenIds)
+      val prior =
+        if (st.seenOnDisk) semiTouched(st.seenUh48, seenKeys, bSeen, seenIds)
+        else st.seenUh48
+      fwd(prior.select("uh48").unionByName(freshP.toDF().select("uh48")))
+    }
+
+    // title_vecs merge, O(batch + touched buckets): latest vector per
+    // uh48 (delta t=now shadows prior t=0). A pre-chain workdir merges
+    // the titledb-derived full table instead and writes the chain FULL.
+    val vecKeys = (df: DataFrame) => Seq(df("uh48"))
+    val fVecIds = planned {
+      if (st.vecsOnDisk) StateTable.touchedBuckets(vecDelta, vecKeys, bVec)
+      else Set.empty[Int]
+    }
+    val fMergedVec = plannedT("vec") {
+      val vecIds = await(fVecIds)
+      val prior =
+        if (st.vecsOnDisk) semiTouched(st.titleVecs, vecKeys, bVec, vecIds)
+        else st.titleVecs
+      fwd(prior.withColumn("t", lit(0L))
+        .unionByName(vecDelta)
+        .groupBy("uh48").agg(max(struct(col("t"), col("sample_vec"))).as("s"))
+        .select(col("uh48"), col("s.sample_vec").as("sample_vec")))
+    }
+
     // A8 state roll-forward: prior counts + this delta's counts
     val fIpCountsNext = plannedT("ipcounts") { fwd(ipCounts
       .unionByName(freshP.toDF().unionByName(revisedP.toDF())
@@ -1962,19 +2177,15 @@ object Crawl {
         .select(col("first_ip"), col("s.next_ms").as("next_ms")))
     } }
 
-    // per-url sample-vec delta feeding the forward titleVecs (the disk
-    // path re-derives the same rows from the titledb delta chain)
-    val vecDelta = results.filter(_.found)
-      .map(r => (r.task.uh48, nowSecs(cfg, i),
-        if (r.sampleVec == null) Array.empty[Int] else r.sampleVec))
-      .toDF("uh48", "t", "sample_vec")
-
     // plan-construction barrier: every forward-state table is now
     // analyzed/planned/cut; the write batch below consumes leaves
     val repDelta = await(fRepDelta)
     val ipIds = await(fIpIds); val domIds = await(fDomIds)
     val inlIds = await(fInlIds); val tagIds = await(fTagIds)
-    val quotaIds = await(fQuotaIds)
+    val quotaIds = await(fQuotaIds); val vecIds = await(fVecIds)
+    val seenIds = await(fSeenIds)
+    val mergedSeen = await(fMergedSeen)
+    val mergedVec = await(fMergedVec)
     val mergedIp = await(fMergedIp)
     val mergedDom = await(fMergedDom)
     val mergedInl = await(fMergedInl)
@@ -1992,42 +2203,54 @@ object Crawl {
     // ---- previous pending chain (resume sees manifests in order).
     val pendingAll = timed("s2_issue") {
       val fDelta = Future { timed("w_req_delta") {
-        freshP.toDF().unionByName(revisedP.toDF())
+        qw(freshP.toDF().unionByName(revisedP.toDF()))
           .write.mode("overwrite").parquet(s"$d/requests_delta")
       } }
       val fBloom = Future { timed("w_bloom") {
-        bloomW.write.mode("overwrite").parquet(s"$d/seen_bloom")
+        qw(bloomW).write.mode("overwrite").parquet(s"$d/seen_bloom")
         if (chainHasBloom) java.nio.file.Files.write(
           new java.io.File(s"$d/seen_bloom", "_GRAFT_DELTA").toPath, Array.empty[Byte])
       } }
       val fCounts = Future { timed("w_ip_counts") {
-        ipCountsNext.write.mode("overwrite").parquet(s"$d/ip_counts")
+        qw(ipCountsNext).write.mode("overwrite").parquet(s"$d/ip_counts")
       } }
       val fIpNext = ipNextNext.toSeq.map(ipn => Future { timed("w_ip_next") {
-        ipn.write.mode("overwrite").parquet(s"$d/ip_next")
+        qw(ipn).write.mode("overwrite").parquet(s"$d/ip_next")
         writeIpNextMarker(workdir, i, cfg)
       } })
       val writes = fIpNext ++ Seq(
         fDelta, fBloom, fCounts,
-        Future { timed("w_replies") { repDelta.write.mode("overwrite").parquet(s"$d/replies_delta") } },
+        Future { timed("w_replies") { qw(repDelta).write.mode("overwrite").parquet(s"$d/replies_delta") } },
         Future { timed("w_ip_state") {
-          StateTable.writeDelta(mergedIp, Seq(col("first_ip")), bIp, s"$d/ip_state") } },
+          StateTable.writeDelta(qw(mergedIp), Seq(col("first_ip")), bIp, s"$d/ip_state") } },
         Future { timed("w_dom_state") {
-          StateTable.writeDelta(mergedDom, Seq(col("dom_hash32")), bDom, s"$d/dom_state") } },
+          StateTable.writeDelta(qw(mergedDom), Seq(col("dom_hash32")), bDom, s"$d/dom_state") } },
         Future { timed("w_inlink") {
-          StateTable.writeDelta(mergedInl, Seq(col("uh48")), bInl, s"$d/inlink_state") } },
+          StateTable.writeDelta(qw(mergedInl), Seq(col("uh48")), bInl, s"$d/inlink_state") } },
         Future { timed("w_tag") {
-          StateTable.writeDelta(mergedTag, Seq(col("site_hash32")), bTag, s"$d/tag_state") } },
+          StateTable.writeDelta(qw(mergedTag), Seq(col("site_hash32")), bTag, s"$d/tag_state") } },
         Future { timed("w_quota") {
-          StateTable.writeDelta(mergedQuota, Seq(col("key")), bQuota, s"$d/quota_state") } },
+          StateTable.writeDelta(qw(mergedQuota), Seq(col("key")), bQuota, s"$d/quota_state") } },
+        Future { timed("w_title_vecs") {
+          // latest sample vector per uh48 — O(touched buckets); the
+          // first write after a pre-chain resume is FULL (chain start)
+          if (st.vecsOnDisk)
+            StateTable.writeDelta(qw(mergedVec), Seq(col("uh48")), bVec, s"$d/title_vecs")
+          else
+            StateTable.writeFull(qw(mergedVec), Seq(col("uh48")), bVec, s"$d/title_vecs") } },
+        Future { timed("w_seen_uh48") {
+          if (st.seenOnDisk)
+            StateTable.writeDelta(qw(mergedSeen), Seq(col("uh48")), bSeen, s"$d/seen_uh48")
+          else
+            StateTable.writeFull(qw(mergedSeen), Seq(col("uh48")), bSeen, s"$d/seen_uh48") } },
         Future { timed("w_titledb") {
           // S7: titledb sink — the crawled-content snapshot (Titledb.cpp
           // titleRec analogue): raw bytes + extracted text per fetched
           // url, appended as a delta; compaction keeps latest per uh48
-          results.filter(_.found)
+          qw(results.filter(_.found)
             .map(r => TitleRow(r.task.uh48, r.task.url, nowSecs(cfg, i),
               r.httpStatus, r.lang, r.contentHash32, r.html, r.extractedText,
-              if (r.sampleVec == null) Array.empty[Int] else r.sampleVec))
+              if (r.sampleVec == null) Array.empty[Int] else r.sampleVec)).toDF())
             .write.mode("overwrite").parquet(s"$d/titledb_delta")
         } }
       )
@@ -2044,7 +2267,7 @@ object Crawl {
     // ---- holds, as plans over this iteration's caches
     val sFwd0 = System.nanoTime()
     val iterCaches: Seq[Dataset[_]] =
-      Seq(doleOutP, resultsP, resolvedP, newPairs, freshP0, revisedP0) ++ fwdCaches
+      Seq(doleOutP, resultsP, resolvedP, taggedP, newPairs, freshP0, revisedP0) ++ fwdCaches
     val next = LoopState(
       requests = requests.union(freshP).union(revisedP),
       replies = replies.union(repDelta.as[FrontierReply]),
@@ -2060,17 +2283,23 @@ object Crawl {
         .unionByName(mergedQuota),
       ipCounts = ipCountsNext,
       ipNext = ipNextNext,
-      titleVecs = st.titleVecs.withColumn("t", lit(0L))
-        .unionByName(vecDelta)
-        .groupBy("uh48").agg(max(struct(col("t"), col("sample_vec"))).as("s"))
-        .select(col("uh48"), col("s.sample_vec").as("sample_vec")),
+      titleVecs =
+        (if (st.vecsOnDisk) antiTouched(st.titleVecs, vecKeys, bVec, vecIds)
+         else st.titleVecs.limit(0)) // migration wrote FULL: merged is the whole table
+          .unionByName(mergedVec),
+      vecsOnDisk = true,
+      seenUh48 =
+        (if (st.seenOnDisk) antiTouched(st.seenUh48.select("uh48"), seenKeys, bSeen, seenIds)
+         else st.seenUh48.select("uh48").limit(0)) // migration wrote FULL
+          .unionByName(mergedSeen),
+      seenOnDisk = true,
       bloom = if (chainHasBloom)
         bloomW.withColumn("ord", lit(1))
           .unionByName(bloomTable.withColumn("ord", lit(0)))
           .groupBy("bucket").agg(max_by(col("bloom"), col("ord")).as("bloom"))
       else bloomW,
       bloomOnDisk = true,
-      buckets = st.buckets,
+      buckets = st.buckets + ("title_vecs" -> bVec) + ("seen_uh48" -> bSeen),
       pending = Seq(pendingAll),
       caches = st.caches ++ iterCaches)
 
@@ -2140,6 +2369,18 @@ object Crawl {
           .write.mode("overwrite").parquet(s"$d/seen_bloom_full_tmp")
         compacted.groupBy("first_ip").agg(count(lit(1)).as("n"))
           .write.mode("overwrite").parquet(s"$d/ip_counts_full_tmp")
+        // seen_uh48 chain reset FROM GROUND TRUTH (the compacted
+        // requests): re-establishes seen == requests-uh48s exactly,
+        // bounding any superset drift to one compaction interval.
+        // Bucket count from the prior chain's measured bytes (or a
+        // requests-bytes/16 estimate on first migration).
+        val priorBytes = StateTable.chainBytes(workdir, i, "seen_uh48")
+        val reqBytes = Option(new java.io.File(s"$d/requests_full_tmp").listFiles())
+          .map(_.filter(_.isFile).map(_.length).sum).getOrElse(0L)
+        val nbSeen = StateTable.bucketsForBytes(
+          if (priorBytes > 0) priorBytes else reqBytes / 16)
+        StateTable.writeFull(compacted.select("uh48").distinct(),
+          Seq(col("uh48")), nbSeen, s"$d/seen_uh48_full_tmp")
       }
       val fRep = Future { dedupedRep.write.mode("overwrite").parquet(s"$d/replies_full_tmp") }
       val fTitle = Future { loadTitledb(spark, workdir, i).write.mode("overwrite").parquet(s"$d/titledb_full_tmp") }
@@ -2149,7 +2390,7 @@ object Crawl {
       val fStates = Seq(
         ("ip_state", "first_ip"), ("dom_state", "dom_hash32"),
         ("tag_state", "site_hash32"), ("quota_state", "key"),
-        ("inlink_state", "uh48")).map { case (name, key) =>
+        ("inlink_state", "uh48"), ("title_vecs", "uh48")).map { case (name, key) =>
         Future {
           val cur = StateTable.load(spark, workdir, i, name, df => Seq(df(key)),
             stateBuckets(workdir, i, name), null) // null only if the chain is empty (pre-state workdir)
@@ -2183,7 +2424,9 @@ object Crawl {
     fs.rename(new org.apache.hadoop.fs.Path(s"$d/titledb_full_tmp"), new org.apache.hadoop.fs.Path(s"$d/titledb"))
     fs.rename(new org.apache.hadoop.fs.Path(s"$d/seen_bloom_full_tmp"), new org.apache.hadoop.fs.Path(s"$d/seen_bloom"))
     fs.rename(new org.apache.hadoop.fs.Path(s"$d/ip_counts_full_tmp"), new org.apache.hadoop.fs.Path(s"$d/ip_counts"))
-    Seq("ip_state", "dom_state", "tag_state", "quota_state", "inlink_state").foreach { name =>
+    fs.delete(new org.apache.hadoop.fs.Path(s"$d/seen_uh48"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$d/seen_uh48_full_tmp"), new org.apache.hadoop.fs.Path(s"$d/seen_uh48"))
+    Seq("ip_state", "dom_state", "tag_state", "quota_state", "inlink_state", "title_vecs").foreach { name =>
       val tmp = new org.apache.hadoop.fs.Path(s"$d/${name}_full_tmp")
       if (fs.exists(tmp)) {
         fs.delete(new org.apache.hadoop.fs.Path(s"$d/$name"), true)
@@ -2212,6 +2455,10 @@ object Crawl {
     StateTable.writeFull(spark.emptyDataset[TagState].toDF(), Seq(col("site_hash32")), 1, s"$d/tag_state")
     StateTable.writeFull(spark.emptyDataset[(Int, Long)].toDF("key", "n"), Seq(col("key")), 1, s"$d/quota_state")
     StateTable.writeFull(spark.emptyDataset[InlinkState].toDF(), Seq(col("uh48")), 1, s"$d/inlink_state")
+    StateTable.writeFull(emptyVecs(spark), Seq(col("uh48")), 1, s"$d/title_vecs")
+    // J2 exact-set chain: every request uh48 (seeds are unique per url)
+    StateTable.writeFull(spark.read.parquet(s"$d/requests").select("uh48"),
+      Seq(col("uh48")), 1, s"$d/seen_uh48")
     spark.emptyDataset[TitleRow].write.mode("overwrite").parquet(s"$d/titledb")
     // A3: all seed IPs are immediately due
     spark.read.parquet(s"$d/requests").select("first_ip").distinct()
@@ -2263,6 +2510,24 @@ object Crawl {
     val target = s"${snapDir(workdir, i)}/requests_delta"
     val mode = if (new java.io.File(target).exists) "append" else "overwrite"
     fresh.write.mode(mode).parquet(target)
+    // the exact seen set must gain the injected uh48s too (J2's
+    // anti-join right side): merge them into the touched buckets of
+    // the seen_uh48 chain — dynamic overwrite leaves this snapshot's
+    // other buckets (and a FULL marker) intact. distinct(): an
+    // injected url may already be seen under another first_ip, and
+    // the (first_ip, uh48) dedup above doesn't collapse that.
+    if (seenChainExists(workdir, i)) {
+      val seenKeys = (df: org.apache.spark.sql.DataFrame) => Seq(df("uh48"))
+      val bSeen = StateTable.bucketsOf(workdir, i, "seen_uh48")
+      val ids = StateTable.touchedBuckets(fresh.toDF().select("uh48"), seenKeys, bSeen)
+      val merged = StateTable.loadBuckets(spark, workdir, i, "seen_uh48",
+          seenKeys, bSeen, emptySeen(spark), Some(ids))
+        .select("uh48")
+        .unionByName(fresh.toDF().select("uh48"))
+        .distinct()
+      StateTable.writeDelta(merged, Seq(col("uh48")), bSeen,
+        s"${snapDir(workdir, i)}/seen_uh48", dynamic = true)
+    }
     // the seen bloom must remain a SUPERSET of all request uh48s, or a
     // future bloom-negative would skip the exact anti-join and re-admit
     SeenBloom.update(loadBloom(spark, workdir, i, cfg),
@@ -2357,7 +2622,10 @@ object Crawl {
         if (cfg.maxToCrawl >= 0 && downloaded >= cfg.maxToCrawl) SpiderStatus.MaxToCrawl
         else if (r0.scheduled == 0) {
           // round exhausted; MAXROUNDS conversion (Spider.cpp:14606-14633)
-          val s = if (cfg.maxRounds >= 0 && round >= cfg.maxRounds)
+          // — gated on maxRounds > 0 like the reference's
+          // m_maxCrawlRounds > 0 (Spider.cpp:6600-6603): 0 and -1 both
+          // mean "no round limit"
+          val s = if (cfg.maxRounds > 0 && round >= cfg.maxRounds)
             SpiderStatus.MaxRounds else SpiderStatus.RoundDone
           round += 1
           s

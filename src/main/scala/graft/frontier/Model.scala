@@ -53,7 +53,15 @@ object Flags {
 }
 
 /** Input pages table (BASELINE.json input_hint). */
-final case class PageRow(url: String, warc_ts: Timestamp, html: Array[Byte], text: String, lang: String)
+/** `header_charset`: the HTTP Content-Type charset param ("" when the
+  * source had none — corpus pages). Carried so every re-decode of the
+  * raw html bytes (fetch, iframe expansion) keeps X17→X7 header-charset
+  * precedence that toPages applied to the text column.
+  * `content_type`: the raw Content-Type field ("" = absent → CT_HTML,
+  * like HttpMime::parse's pre-seed); the fetch path classifies it via
+  * the X17 CT table and rejects non-text types (EDOCBADCONTENTTYPE). */
+final case class PageRow(url: String, warc_ts: Timestamp, html: Array[Byte], text: String, lang: String,
+                         header_charset: String = "", content_type: String = "")
 
 /** Deterministic DNS/tagdb stand-in (FIXTURES.md §3; Spider.h:108-118). */
 final case class HostMeta(host: String, first_ip: Int, site_num_inlinks: Int)

@@ -106,10 +106,17 @@ object StateTable {
 
   /** Delta write: only the buckets present in `merged` (= the touched
     * buckets, already carrying their complete merged contents) appear
-    * in this snapshot. */
-  def writeDelta(merged: DataFrame, keys: Seq[Column], buckets: Int, dir: String): Unit =
-    bucketed(merged, keys, buckets)
-      .write.partitionBy("bucket").mode("overwrite").parquet(dir)
+    * in this snapshot. `dynamic = true` uses dynamic partition
+    * overwrite — ONLY the written bucket dirs are replaced, leaving
+    * sibling buckets (and a `_GRAFT_FULL` marker) in an EXISTING dir
+    * intact; used when appending to a snapshot that already has a
+    * version of this table (the injection path). */
+  def writeDelta(merged: DataFrame, keys: Seq[Column], buckets: Int, dir: String,
+                 dynamic: Boolean = false): Unit = {
+    val w = bucketed(merged, keys, buckets).write.partitionBy("bucket")
+    (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
+      .mode("overwrite").parquet(dir)
+  }
 
   /** Clustering the write by bucket id gives ONE file per bucket dir
     * (instead of one per task × bucket): the loader's cost is paths ×

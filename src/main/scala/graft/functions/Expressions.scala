@@ -14,6 +14,7 @@ import graft.core.{GbHash, GbUrl, GbXml}
 object Native {
   def uh48(s: UTF8String): Long = GbHash.uh48(s.toString)
   def hash32(s: UTF8String): Int = GbHash.hash32(s.toString)
+  def hash64b(s: UTF8String): Long = GbHash.hash64b(s.toString)
   def canonicalizeUrl(s: UTF8String): UTF8String = UTF8String.fromString(GbUrl.parse(s.toString).url)
   def hostOf(s: UTF8String): UTF8String = UTF8String.fromString(GbUrl.parse(s.toString).host)
   def domainOf(s: UTF8String): UTF8String = UTF8String.fromString(GbUrl.parse(s.toString).domain)
@@ -45,6 +46,11 @@ abstract class GraftUnary extends UnaryExpression {
 case class Uh48Expr(child: Expression) extends GraftUnary {
   protected def fnName = "uh48"; protected def javaCall = "uh48"; protected def dt = LongType
   override protected def nullSafeEval(in: Any): Any = Native.uh48(in.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+case class Hash64bExpr(child: Expression) extends GraftUnary {
+  protected def fnName = "gb_hash64b"; protected def javaCall = "hash64b"; protected def dt = LongType
+  override protected def nullSafeEval(in: Any): Any = Native.hash64b(in.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 case class Hash32Expr(child: Expression) extends GraftUnary {
@@ -92,6 +98,7 @@ object GraftFunctions {
 
   def uh48(c: Column): Column = column(Uh48Expr(expression(c)))
   def gbHash32(c: Column): Column = column(Hash32Expr(expression(c)))
+  def gbHash64b(c: Column): Column = column(Hash64bExpr(expression(c)))
   def canonicalizeUrl(c: Column): Column = column(CanonicalizeUrlExpr(expression(c)))
   def urlHost(c: Column): Column = column(UrlHostExpr(expression(c)))
   def urlDomain(c: Column): Column = column(UrlDomainExpr(expression(c)))
@@ -102,6 +109,7 @@ object GraftFunctions {
   private val fns: Seq[(String, Expression => Expression)] = Seq(
     "uh48" -> (Uh48Expr(_)),
     "gb_hash32" -> (Hash32Expr(_)),
+    "gb_hash64b" -> (Hash64bExpr(_)),
     "canonicalize_url" -> (CanonicalizeUrlExpr(_)),
     "url_host" -> (UrlHostExpr(_)),
     "url_domain" -> (UrlDomainExpr(_)),

@@ -32,9 +32,11 @@ import graft.core.GbHash
   *    computed BEFORE the global top-k, exactly like gotSummary clusters
   *    before filling the final window.
   *
-  * Scoring is the minimal honest slice: score = Σ tf over query terms
-  * (Posdb's full proximity/density scoring — sliding window :1266, term
-  * pairs :3296 — is inventoried, not ported; the plan shape is what
+  * Scoring: score = Σ tf over query terms, plus an optional windowed
+  * proximity bonus (one step toward Posdb's sliding-window scoring —
+  * :1266 window, :3296 term pairs — counting near co-occurrences of
+  * different query terms; the full density/position weighting stays
+  * inventoried, not ported; the plan shape is what
   * scales). At 100 TB the postings table is hash-partitioned by term_id
   * (bucketed), the literal-term filter prunes partitions at the scan,
   * and the per-doc aggregate shuffles only rows matching the query —
@@ -53,38 +55,70 @@ object Search {
   /** Posting lists from a (id, text[, site]) table: one row per word
     * occurrence, (term_id, doc_id, pos, word). Words.cpp tokenization is
     * alnum runs; the slice matches the textops tokenizer (lowercase,
-    * non-alnum split) so the DuckDB oracle can recompute it. */
-  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tid = udf((w: String) => termId(w))
+    * non-alnum split) so the DuckDB oracle can recompute it. term_id is
+    * the engine's codegen'd hash expression (functions.Hash64bExpr) —
+    * no UDF SerDe in the postings build. */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol).as("doc_id"),
         posexplode(split(lower(col(textCol)), TokenRe)).as(Seq("pos", "word")))
       .filter(col("word") =!= "")
-      .withColumn("term_id", tid(col("word")))
-  }
+      .withColumn("term_id", graft.functions.GraftFunctions.gbHash64b(col("word")))
 
   /** AND-query over a document table: every query term must appear;
-    * score = Σ term frequency; at most `perSite` results per site
+    * score = Σ term frequency, plus — when `proxWindow > 0` — a
+    * proximity bonus of `proxBonus` per unordered pair of occurrences
+    * of two DIFFERENT query terms within `proxWindow` token positions
+    * (the simplest honest step toward Posdb's sliding-window scoring,
+    * Posdb.cpp:1266 window / :3296 term pairs: near co-occurrence
+    * outranks scattered tf). At most `perSite` results per site
     * (Msg40.cpp:1822 site clustering); global top-k by (score desc,
-    * doc_id asc). Output: (doc_id, score, rank). */
+    * doc_id asc). Output: (doc_id, score, rank).
+    *
+    * Scale shape of the pair join: both sides are the query-term-pruned
+    * postings (O(Σ posting-list length) rows, never the corpus),
+    * equi-joined on doc_id — per-doc pair expansion is bounded by the
+    * doc's query-term occurrence count squared, the same bound as the
+    * reference's in-memory window walk over one docid's term lists. */
   def searchTopK(docs: DataFrame, idCol: String, textCol: String, siteCol: String,
-                 query: String, k: Int, perSite: Int = 2): DataFrame = {
+                 query: String, k: Int, perSite: Int = 2,
+                 proxWindow: Int = 0, proxBonus: Long = 10L): DataFrame = {
     val terms = query.toLowerCase.split(TokenRe).filter(_.nonEmpty).distinct
     require(terms.nonEmpty, "empty query")
     val termIds = terms.map(termId)
     val sites = docs.select(col(idCol).as("site_doc_id"), col(siteCol).as("site"))
 
-    val tf = postings(docs, idCol, textCol)
+    val posts = postings(docs, idCol, textCol)
       // literal IN-set on the scan side: with a bucketed/partitioned
       // postings table this prunes before any shuffle
       .filter(col("term_id").isInCollection(termIds))
+
+    val tf = posts
       .groupBy(col("doc_id"), col("term_id"))
       .agg(count(lit(1)).as("tf"))
 
-    val scored = tf.groupBy("doc_id")
-      .agg(sum(col("tf")).as("score"), count(lit(1)).as("n_terms"))
+    val baseScored = tf.groupBy("doc_id")
+      .agg(sum(col("tf")).as("base_score"), count(lit(1)).as("n_terms"))
       .filter(col("n_terms") === terms.length) // AND intersection
       .drop("n_terms")
+
+    val scored =
+      if (proxWindow <= 0 || terms.length < 2)
+        baseScored.select(col("doc_id"), col("base_score").as("score"))
+      else {
+        // pairs keyed a.term_id < b.term_id: each unordered pair of
+        // different-term occurrences counted exactly once (the oracle
+        // pairs by word order — different key, same pair set)
+        val a = posts.select(col("doc_id"), col("term_id").as("ta"), col("pos").as("pa"))
+        val b = posts.select(col("doc_id").as("doc_b"), col("term_id").as("tb"), col("pos").as("pb"))
+        val near = a.join(b,
+            col("doc_id") === col("doc_b") && col("ta") < col("tb") &&
+              abs(col("pa") - col("pb")) <= proxWindow)
+          .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
+        baseScored.join(near, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            (col("base_score") + lit(proxBonus) * coalesce(col("n_near"), lit(0L))).as("score"))
+      }
 
     // site clustering before the global top-k (gotSummary order). The
     // site join is a broadcast at sane site-table sizes; at 100 TB the
@@ -107,11 +141,11 @@ object Search {
   }
 
   /** Same query over the crawl's own titledb (uh48, url, extracted
-    * text): site = SiteGetter site hash, the real Msg40 clustering key. */
-  def searchTitledb(titledb: DataFrame, query: String, k: Int, perSite: Int = 2): DataFrame = {
-    val siteHash = udf((u: String) => GbHash.hash32(graft.core.SiteGetter.site(u)))
+    * text): site = SiteGetter site hash, the real Msg40 clustering key
+    * (the codegen'd SiteKeyHash32Expr — hash32 of the SiteGetter site). */
+  def searchTitledb(titledb: DataFrame, query: String, k: Int, perSite: Int = 2): DataFrame =
     searchTopK(
-      titledb.withColumn("site_hash32", siteHash(col("url"))),
+      titledb.withColumn("site_hash32",
+        graft.functions.GraftFunctions.siteKeyHash32(col("url"))),
       "uh48", "text", "site_hash32", query, k, perSite)
-  }
 }

@@ -23,7 +23,28 @@ object Warc {
   final case class WarcRecord(url: String, date: String, httpStatus: Int,
                               contentType: String, body: Array[Byte],
                               charset: String = "",
-                              ctId: Int = graft.core.GbHttpMime.CtHtml)
+                              ctId: Int = graft.core.GbHttpMime.CtHtml,
+                              gzip: Boolean = false,
+                              deflate: Boolean = false)
+
+  /** Content-Encoding decode of a payload member (the reference
+    * gunzips in HttpServer/Msg13 — gbuncompress — before XmlDoc ever
+    * sees the bytes, so the stored content is UNCOMPRESSED). A corrupt
+    * stream returns null — the member is skipped, like the reference's
+    * ECORRUPTHTTPGZIP drop. */
+  private[sources] def contentDecode(body: Array[Byte], gzip: Boolean, deflate: Boolean): Array[Byte] = {
+    if (!gzip && !deflate) return body
+    try {
+      val in =
+        if (gzip) new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(body))
+        else new java.util.zip.InflaterInputStream(new java.io.ByteArrayInputStream(body))
+      val out = new java.io.ByteArrayOutputStream(body.length * 4)
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } catch { case _: java.io.IOException => null }
+  }
 
   private val CRLF2 = "\r\n\r\n".getBytes(StandardCharsets.US_ASCII)
 
@@ -68,7 +89,7 @@ object Warc {
           case Some(m) if url.nonEmpty =>
             val body = java.util.Arrays.copyOfRange(http, m.mimeLen, http.length)
             out += WarcRecord(url, date, m.status, m.contentTypeRaw, body,
-              m.charset, m.contentType)
+              m.charset, m.contentType, m.gzip, m.deflate)
           case _ => // no mime boundary → not an indexable response
         }
       }
@@ -87,6 +108,10 @@ object Warc {
       .flatMap { blob =>
         parseWarc(blob).iterator
           .filter(r => r.httpStatus == 200 && graft.core.GbHttpMime.isTextual(r.ctId))
+          // gzip/deflate payload members decode first (gbuncompress);
+          // corrupt streams drop the member (ECORRUPTHTTPGZIP)
+          .map(r => r.copy(body = contentDecode(r.body, r.gzip, r.deflate)))
+          .filter(_.body != null)
           .map { r =>
             val ts = scala.util.Try(java.sql.Timestamp.from(java.time.Instant.parse(r.date)))
               .getOrElse(new java.sql.Timestamp(0L))
@@ -99,16 +124,38 @@ object Warc {
             // BOM/meta/sniff (XmlDoc::getCharset order)
             val hdrCs = graft.core.GbCharset.fromHttpHeader(r.charset)
             val utf8 = graft.core.GbCharset.toUtf8(r.body, hdrCs)
-            PageRow(url, ts, r.body, GbXml.extractText(utf8), "")
+            // carry the header charset so downstream re-decodes of the
+            // raw bytes (fetch / iframe expansion) keep the same
+            // precedence as this text extraction
+            PageRow(url, ts, r.body, GbXml.extractText(utf8), "", r.charset)
           }
       }
   }
 
   /** Build a WARC byte blob (test fixture / round-trip). */
-  def buildWarc(records: Seq[(String, String, Array[Byte])]): Array[Byte] = {
+  def buildWarc(records: Seq[(String, String, Array[Byte])]): Array[Byte] =
+    buildWarcEnc(records.map(r => (r._1, r._2, r._3, "")))
+
+  /** Like buildWarc with a per-record Content-Encoding ("", "gzip" or
+    * "deflate"): the body is compressed accordingly and the header
+    * advertises it — the gzip'd-payload-member fixture. */
+  def buildWarcEnc(records: Seq[(String, String, Array[Byte], String)]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    records.foreach { case (url, date, body) =>
-      val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: ${body.length}\r\n\r\n"
+    records.foreach { case (url, date, raw, enc) =>
+      val body = enc match {
+        case "gzip" =>
+          val bos = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(bos)
+          gz.write(raw); gz.close(); bos.toByteArray
+        case "deflate" =>
+          val bos = new java.io.ByteArrayOutputStream()
+          val df = new java.util.zip.DeflaterOutputStream(bos)
+          df.write(raw); df.close(); bos.toByteArray
+        case _ => raw
+      }
+      val encHdr = if (enc.isEmpty) "" else s"Content-Encoding: $enc\r\n"
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n$encHdr" +
+        s"Content-Length: ${body.length}\r\n\r\n")
         .getBytes(StandardCharsets.ISO_8859_1)
       val contentLen = http.length + body.length
       val hdr = (s"WARC/1.0\r\n" +

@@ -32,6 +32,18 @@ object GraftShim {
       org.apache.spark.sql.execution.LogicalRDD.fromDataset(rdd, cdf, isStreaming = false))
   }
 
+  /** Re-bind a DataFrame's analyzed plan to another session (same
+    * SparkContext/sharedState — caches still resolve), so a query can
+    * execute under that session's SQLConf. Used to run the crawl
+    * loop's tiny state-merge writes with AQE off: at micro batch
+    * sizes, each AQE query-stage materialization is a separate Spark
+    * job, and the ~dozen merge writes × 2-4 stage-jobs each were the
+    * measured fixed cost of an iteration. Output is byte-equivalent —
+    * AQE only re-plans execution. */
+  def onSession(spark: SparkSession, df: DataFrame): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession],
+      df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed)
+
   /** Formatted physical plan text (the `.explain("formatted")` output)
     * — used by tools.GenPlans to regenerate PLANS.md. */
   def explainFormatted(df: Dataset[_]): String =

@@ -32,6 +32,18 @@ class CrawlStatusSpec extends AnyFunSuite {
     assert(res.last.scheduled == 0)
   }
 
+  test("maxRounds=0 means NO round limit (m_maxCrawlRounds > 0 gate, Spider.cpp:6600-6603)") {
+    val work = java.nio.file.Files.createTempDirectory("graft_status3").toString
+    val spec = Corpus.Spec(1, 1, 2)
+    val res = Crawl.run(spark, work, spec, 8,
+      Crawl.Config(maxRounds = 0),
+      seedUrls = Seq(s"http://${Corpus.host(0)}/"))
+    // the crawl exhausts (ROUNDDONE iterations appear) but never
+    // converts to SP_MAXROUNDS — 0 is "no limit", not "zero rounds"
+    assert(res.exists(_.status == Crawl.SpiderStatus.RoundDone))
+    assert(!res.exists(_.status == Crawl.SpiderStatus.MaxRounds))
+  }
+
   test("status messages match the reference's taxonomy") {
     import Crawl.SpiderStatus._
     assert(msg(MaxRounds).contains("maxRounds"))

@@ -64,4 +64,33 @@ class SearchSpec extends AnyFunSuite {
     assert(Search.termId("spark") == graft.core.GbHash.hash64b("spark"))
     assert(Search.termId("spark") != Search.termId("sparks"))
   }
+
+  test("proximity bonus: near pairs of DIFFERENT terms, hand-computed (Posdb window idea)") {
+    import spark.implicits._
+    val d = Seq(
+      // doc 1: fast@0 spark@1 → 1 near pair within w=2; tf sum 2+1=3
+      //   (the extra "fast" at pos 4 is 3 > 2 from spark@1 → no pair)
+      (1L, "fast spark x x fast", "a"),
+      // doc 2: fast@0 ... spark@4 → no pair at w=2; tf sum 2
+      (2L, "fast x x x spark", "b"),
+      // doc 3: fast@0 spark@1 fast@2 spark@3 → cross-term pairs within 2:
+      //   (0,1),(0,2? same term no),(1,2),(2,3),(1,3) = 4 pairs; tf 4
+      (3L, "fast spark fast spark", "c")
+    ).toDF("doc_id", "text", "source")
+    val r = Search.searchTopK(d, "doc_id", "text", "source", "fast spark", 10,
+        proxWindow = 2, proxBonus = 100L)
+      .as[(Long, Long, Int)].collect().toSeq
+    // doc3: 4 + 400 = 404; doc1: 3 + 100 = 103; doc2: 2 + 0
+    assert(r == Seq((3L, 404L, 1), (1L, 103L, 2), (2L, 2L, 3)))
+  }
+
+  test("proxWindow=0 and single-term queries skip the pair join entirely") {
+    import spark.implicits._
+    val d = Seq((1L, "fast spark", "a")).toDF("doc_id", "text", "source")
+    val plain = Search.searchTopK(d, "doc_id", "text", "source", "fast spark", 10)
+    assert(!org.apache.spark.sql.GraftShim.explainFormatted(plain).contains("n_near"))
+    val single = Search.searchTopK(d, "doc_id", "text", "source", "spark", 10,
+      proxWindow = 8)
+    assert(single.as[(Long, Long, Int)].collect().toSeq == Seq((1L, 1L, 1)))
+  }
 }

@@ -28,6 +28,37 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("WARC gzip/deflate payload members decode before extraction; corrupt members drop") {
+    val spec = Corpus.micro
+    def rec(k: Int, enc: String) = {
+      val url = Corpus.pageUrl(k, 0, spec)
+      (url, "2014-01-01T00:00:00Z", Corpus.pageHtml(k, 0, spec).getBytes("UTF-8"), enc)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graftwarcgz")
+    java.nio.file.Files.write(dir.resolve("fixture.warc"),
+      Warc.buildWarcEnc(Seq(rec(0, "gzip"), rec(1, "deflate"), rec(3, ""))))
+    // a corrupt gzip member: valid mime advertising gzip, garbage body
+    val badBody = Array[Byte](0x1f, 0x2b, 9, 9, 9, 9)
+    val badHttp = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Content-Encoding: gzip\r\n\r\n").getBytes("ISO-8859-1")
+    val bad = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://www.h9.test/\r\nWARC-Date: 2014-01-01T00:00:00Z\r\n" +
+      s"Content-Length: ${badHttp.length + badBody.length}\r\n\r\n")
+      .getBytes("ISO-8859-1") ++ badHttp ++ badBody ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    java.nio.file.Files.write(dir.resolve("bad.warc"), bad)
+    val pages = Warc.readPages(spark, dir.toString).collect().sortBy(_.url)
+    // the corrupt member is dropped (ECORRUPTHTTPGZIP analogue)
+    assert(!pages.exists(_.url.contains("h9")))
+    assert(pages.length == 3)
+    pages.foreach { p =>
+      // html carries the UNCOMPRESSED bytes (gbuncompress precedes
+      // XmlDoc), so text extraction sees real markup
+      assert(new String(p.html, "UTF-8").startsWith("<html>"), p.url)
+      assert(p.text == graft.core.GbXml.extractText(p.html), p.url)
+      assert(p.text.nonEmpty)
+    }
+  }
+
   test("WARC parser skips non-response records and truncation") {
     val good = Warc.buildWarc(Seq(("http://a.test/", "2014-01-01T00:00:00Z", "<p>x</p>".getBytes)))
     val meta = ("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nblah\r\n\r\n").getBytes
