@@ -209,9 +209,228 @@ object SparkEntry {
       Seq(UrlFilters.spiderTimeMs(req, 12, None, UrlFilters.defaultWebRules, 2000000L, 5000))
         .toDF("spider_time_ms")
     }),
+    "a4_dole_caps" -> ((s, d) => {
+      // A4 dole caps on an orders-derived frontier: per-(priority,ip)
+      // pre-cap, per-priority cap, global TakeOrdered bound — the exact
+      // kernel the scheduler applies under Config.enforceDoleCaps
+      val f = read(s, d, "orders").select(
+        col("o_orderkey").as("uh48"),
+        (col("o_custkey") % 25).cast("int").as("first_ip"),
+        (col("o_orderkey") % 3).cast("int").as("priority"),
+        (-round(col("o_totalprice") * 100).cast("long")).as("spider_time_ms"))
+      graft.frontier.Crawl.doleCapsDF(f, Map(0 -> 2, 1 -> 3, 2 -> 1), 100)
+        .select(col("uh48"), col("first_ip").cast("long").as("first_ip"),
+          col("priority").cast("long").as("priority"))
+    }),
     "x10_extract_text" -> ((s, d) => {
       import s.implicits._
       extractFixtures.map(h => (h, GbXml.extractText(h))).toDF("html", "text")
+    }),
+    "f7_corrupt" -> ((s, d) => {
+      // F7 scan-time corruption filters (Spider.cpp:4113-4155): request
+      // urls must start http/digit and addedTime can't be >1 day in the
+      // future; replies with future spideredTime or status >= 1000 drop
+      import s.implicits._
+      val now = 1400000000L
+      val cfg = graft.frontier.Crawl.Config()
+      val reqs = Seq(
+        ("http://ok.test/", 1400000000L),
+        ("1234567890", 1400000000L), // docid-form pagereindex survives
+        ("garbage-url", 1400000000L), // corrupt: not http/digit
+        ("http://future.test/", 1400090000L)) // >1 day ahead: corrupt
+        .toDF("url", "added_time")
+      val reps = Seq(
+        ("http://ok.test/", 1399999999L, 200),
+        ("http://late.test/", 1400000002L, 200), // future spideredTime
+        ("http://weird.test/", 1399999999L, 1000)) // status >= 1000
+        .toDF("url", "spidered_time", "http_status")
+      graft.frontier.Crawl.requestsFiltered(reqs, now, cfg)
+        .select(col("url"), lit("request").as("side"))
+        .unionByName(graft.frontier.Crawl.repliesFiltered(reps, now, cfg)
+          .select(col("url"), lit("reply").as("side")))
+    }),
+    "s2_inject" -> ((s, d) => {
+      // S2 injection semantics on a fresh micro workdir: already-present
+      // (first_ip, uh48) slots dedup (the shard-slot uniqueness
+      // invariant), new urls land with IsInjecting set and IsAddUrl
+      // cleared at hop 0 — PageInject.cpp flags, Spider.h:604-605
+      import s.implicits._
+      val w = java.nio.file.Files.createTempDirectory("graft_q_s2").toString
+      val cfg = graft.frontier.Crawl.Config()
+      Crawl.init(s, w, Corpus.seeds(Corpus.micro), cfg)
+      Crawl.inject(s, w, Seq("http://www.h0.test/", "http://www.x9.test/page.html"), cfg)
+      s.read.parquet(s"${Crawl.snapDir(w, 0)}/requests_delta")
+        .select(col("url"), col("hop_count"),
+          (col("flags").bitwiseAND(lit(graft.frontier.Flags.IsInjecting)) =!= 0L).as("injecting"),
+          (col("flags").bitwiseAND(lit(graft.frontier.Flags.IsAddUrl)) =!= 0L).as("addurl"))
+    }),
+    "s4_warc" -> ((s, d) => {
+      // S4 WARC container ingest through the REAL distributed read path
+      // (binaryFile → parseWarc → Content-Encoding decode → MIME charset
+      // precedence → canonicalize → extract): a deterministic 3-member
+      // fixture (plain + gzip + deflate payload members) round-trips
+      import graft.sources.Warc
+      val blob = Warc.buildWarcEnc(Seq(
+        ("http://w1.test/a", "2020-01-01T00:00:00Z",
+          "<html><body>plain body</body></html>".getBytes("UTF-8"), ""),
+        ("http://w2.test/b", "2020-01-02T00:00:00Z",
+          "<html><body>gzip body</body></html>".getBytes("UTF-8"), "gzip"),
+        ("http://w3.test/c", "2020-01-03T00:00:00Z",
+          "<html><body>deflate body</body></html>".getBytes("UTF-8"), "deflate")))
+      val dir = java.nio.file.Files.createTempDirectory("graft_s4").toFile
+      val f = new java.io.File(dir, "fix.warc")
+      java.nio.file.Files.write(f.toPath, blob)
+      Warc.readPages(s, f.getAbsolutePath).toDF().select(col("url"), col("text"))
+    }),
+    "a9_status" -> ((s, d) => {
+      // A9 SP_* status taxonomy + the per-iteration conversion ladder
+      // (maxToCrawl cap beats round accounting; MAXROUNDS only when
+      // maxRounds > 0; a scheduling iteration stays IN_PROGRESS)
+      import s.implicits._
+      import graft.frontier.Crawl.SpiderStatus
+      val cases = Seq(
+        // (maxToCrawl, downloaded, maxRounds, round, scheduled)
+        (1, -1L, 10L, -1, 0, 5L), // urls still scheduled → in progress
+        (2, -1L, 10L, -1, 1, 0L), // round exhausted, no limit → round done
+        (3, -1L, 10L, 0, 1, 0L), // maxRounds=0 is NO limit → round done
+        (4, -1L, 10L, 1, 1, 0L), // round 1 >= maxRounds 1 → maxRounds
+        (5, 10L, 10L, -1, 0, 5L), // downloaded >= maxToCrawl wins
+        (6, 10L, 9L, -1, 0, 0L)) // under the cap, round exhausted
+      cases.map { case (id, mtc, dl, mr, rd, sch) =>
+        val st = SpiderStatus.convert(mtc, dl, mr, rd, sch)
+        (id, st, SpiderStatus.msg(st))
+      }.toDF("id", "status", "msg")
+    }),
+    "f4_patterns" -> ((s, d) => {
+      // F4 pattern predicates (^ prefix, $ suffix with the `$\.` hack,
+      // bare substring, ! negation) and list comparisons (tld/lang
+      // ==/!= with comma lists) — the UrlFiltersSpec pins as a driver
+      // oracle over the real rule-expression evaluator
+      import s.implicits._
+      val r1 = UfnRequest(url = "http://www.a.com/forum/showthread.php?t=1", hopCount = 1)
+      val r2 = UfnRequest(url = "http://www.a.de/x", hopCount = 1)
+      val rep = Some(UfnReply(1399999990L, lang = "de"))
+      val now = 1400000000L
+      val cases = Seq(
+        ("^http://www.a.com/", 1), ("^https://", 1), ("$\\.php?t=1", 1),
+        ("showthread", 1), ("!wiki", 1), ("wiki", 1), ("$t=1", 1),
+        ("tld==de,fr", 2), ("tld==com,org", 2), ("tld!=com,org", 2),
+        ("lang==de", 2), ("lang==en", 2))
+      cases.map { case (e, which) =>
+        val (q, rp) = if (which == 1) (r1, None) else (r2, rep)
+        (e, q.url, UrlFilters.ruleMatches(e, q, rp, now))
+      }.toDF("expr", "url", "matched")
+    }),
+    "f6_sitelist" -> ((s, d) => {
+      // F6 site-list membership (PageBasic.cpp line grammar: domain,
+      // host, seed:, site: path prefix, contains:, -contains: veto,
+      // tag:) — the SiteListSpec pins as a driver oracle
+      import s.implicits._
+      import graft.rules.SiteList
+      val sl = new SiteList(Seq(
+        "# a comment", "", "example.com", "sub.other.com",
+        "seed:http://www.seedy.com/", "site:dir.site.com/docs/",
+        "contains:goodword", "-contains:badword", "tag:shallow depth.com"))
+      val cases = Seq(
+        ("http://example.com/x", ""), ("http://www.example.com/x", ""),
+        ("http://sub.other.com/a", ""), ("http://www.other.com/a", ""),
+        ("http://www.seedy.com/page", ""), ("http://seedy.com/page", ""),
+        ("http://dir.site.com/docs/a.html", ""), ("http://dir.site.com/other/a.html", ""),
+        ("http://random.net/goodword/x", ""), ("http://example.com/badword", ""),
+        ("http://depth.com/x", "shallow"), ("http://depth.com/x", "deep"),
+        ("http://example.com/x", "shallow"))
+      cases.map { case (u, tag) =>
+        // empty tag = the reference's NULL tagArg (no tag requirement;
+        // positive contains: patterns only apply on the NULL path)
+        (u, tag, sl.matchingPattern(graft.core.GbUrl.parse(u),
+          if (tag.isEmpty) null else tag))
+      }.toDF("url", "tag", "matched")
+    }),
+    "x16_classify" -> ((s, d) => {
+      // X16 url classifiers (isBadExtension version-gated list,
+      // isLinkLoop path-repeat rule, isSpam host-word ladder with its
+      // exception sublists and edu/gov exemption) — same pins as
+      // ClassifierSpec, surfaced as a driver oracle
+      import s.implicits._
+      import graft.core.{GbAdult, GbUrl}
+      val urls = Seq(
+        "http://a.test/setup.exe", "http://a.test/video.wmv",
+        "http://a.test/crawl.warc.gz", "http://a.test/x/x/x/page.html",
+        "http://a.test/a/b/a/b/page.html", "http://a.test/a/b/a/c/page.html",
+        "http://www.pornsite.test/clean/path", "http://hornyear.com/",
+        "http://www.middlesex.test/", "http://analog-devices.test/",
+        "http://fuckedcompany.com/", "http://sexstudies.someu.edu/",
+        "http://a-very-long-hyphenated-host-name.test/", "http://www.example.com/")
+      urls.map { u =>
+        val p = GbUrl.parse(u)
+        (u, p.isBadExtension(), p.isLinkLoop, GbAdult.isSpam(u))
+      }.toDF("url", "bad_ext", "link_loop", "spam")
+    }),
+    "x7_charset" -> ((s, d) => {
+      // X7 charset→UTF-8 conversion + text extraction as a driver
+      // oracle. Cases 1-3 embed the SAME bytes as reffix fixtures
+      // f72/f73/f76 (goldens produced by the reference-compiled
+      // harness — Big5, EUC-KR label, GB18030 4-byte); 4-5 embed
+      // reffix f61/f62 (explicit windows-1252 incl. the curly-quote →
+      // ASCII fold of the getText normalization; no-meta latin1 sniff
+      // fired by a standalone continuation byte — iconv_open
+      // ("ISO-8859-1"), the cp1252 alias in ucToAny is dead code);
+      // 6 pins the pseudo-UTF-8 swallow: a lone 0xE9 reads as a 3-byte
+      // lead so the valid-utf8 scan PASSES, no latin1 fallback, and
+      // sanitize drops the bogus sequence (XmlDoc.cpp:18712-18770).
+      import s.implicits._
+      import graft.core.GbXml
+      def hex(h: String): Array[Byte] =
+        h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      def ascii(a: String): Array[Byte] =
+        a.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val cases = Seq(
+        1 -> (ascii("<head><meta charset=big5></head><body>") ++
+          hex("a4a4a4e5b4fab8d5c163c5e9a672baf4adb6") ++ ascii(" tail</body>")),
+        2 -> (ascii("<head><meta charset=euc-kr></head><body>") ++
+          hex("c7d1b1b9beee20c5d7bdbac6ae20b9aebcad20b3bbbfeb") ++ ascii("</body>")),
+        3 -> (ascii("<head><meta charset=gb18030></head><body>") ++
+          hex("d6d0cec4209432be3420cbc4d7d6bdda") ++ ascii("</body>")),
+        4 -> (ascii("<html><head><meta charset=windows-1252></head><body>caf") ++
+          hex("e9") ++ ascii(" r") ++ hex("e9") ++ ascii("sum") ++ hex("e9") ++
+          ascii(" ") ++ hex("93") ++ ascii("quoted") ++ hex("94") ++
+          ascii(" ") ++ hex("80") ++ ascii("uro</body></html>")),
+        5 -> (ascii("<body>no meta tag here: na") ++ hex("ef") ++
+          ascii("ve fa") ++ hex("e7") ++ ascii("ade ") ++ hex("bd") ++
+          ascii(" cup</body>")),
+        6 -> (ascii("<body>caf") ++ hex("e9") ++ ascii("</body>")))
+      // extractText(bytes) runs the WHOLE chain incl. the charset
+      // detect+convert step — converting separately first would run
+      // detection twice on a meta-bearing page (the meta still names
+      // the source charset after conversion) and corrupt the text
+      cases.map { case (id, raw) => (id, GbXml.extractText(raw)) }
+        .toDF("id", "text")
+    }),
+    "x17_mime" -> ((s, d) => {
+      // X17 HttpMime quirks as a driver oracle: boundary variants,
+      // atol2 status, charset param spacing, 2-space Location skip,
+      // CASE-SENSITIVE Content-Encoding, CT table, whitespace-header
+      // rejection (each pinned against HttpMime.cpp in GbHttpMimeSpec)
+      import s.implicits._
+      import graft.core.GbHttpMime
+      val cases = Seq(
+        1 -> "HTTP/1.1 200 OK\r\nContent-Type: text/html;charset=UTF-8\r\nContent-Length: 5\r\n\r\nhello",
+        2 -> "HTTP/1.0 404 NF\n\r\n\rbody",
+        3 -> "HTTP/1.1 200", // under 13 bytes: no mime
+        4 -> "HTTP/1.1 abc def\r\n\r\n", // atol2: non-numeric → 0
+        5 -> "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset = euc-jp\r\n\r\n",
+        6 -> "HTTP/1.1 302 F\r\nLocation:  http://a.test/\r\n\r\n",
+        7 -> "HTTP/1.1 302 F\r\nLocation:   http://a.test/\r\n\r\n", // 3rd space stays
+        8 -> "HTTP/1.1 200 OK\r\nContent-Encoding: x-gzip\r\n\r\n",
+        9 -> "HTTP/1.1 200 OK\r\nContent-Encoding: GZIP\r\n\r\n", // strstr is case-sensitive
+        10 -> "HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n",
+        11 -> "      \t     \r\n\r\n") // all-whitespace first line: no mime
+      cases.map { case (id, hdr) =>
+        GbHttpMime.parse(hdr.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)) match {
+          case Some(r) => (id, true, r.status, r.contentType, r.charset, r.gzip, r.location)
+          case None => (id, false, -1, -1, "", false, "")
+        }
+      }.toDF("id", "parsed", "status", "content_type", "charset", "gzip", "location")
     }),
     "x11_links" -> ((s, d) => {
       import s.implicits._
@@ -468,6 +687,110 @@ object SparkEntry {
         ") AS t(url, hop, had_reply, is_media, is_addurl, ufn, priority)"),
     "a1_spidertime" ->
       "SELECT CAST(2005000 AS BIGINT) AS spider_time_ms",
+    "a4_dole_caps" ->
+      ("WITH f AS (SELECT o_orderkey AS uh48, CAST(o_custkey % 25 AS BIGINT) AS first_ip, " +
+        "CAST(o_orderkey % 3 AS BIGINT) AS priority, " +
+        "CAST(-round(o_totalprice * 100) AS BIGINT) AS t FROM orders), " +
+        "c AS (SELECT *, CASE priority WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 1 END AS cap FROM f), " +
+        "p1 AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY priority, first_ip ORDER BY t ASC, uh48 ASC) AS rn FROM c) WHERE rn <= cap), " +
+        "p2 AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY priority ORDER BY t ASC, uh48 ASC, first_ip ASC) AS rn2 FROM p1) WHERE rn2 <= cap) " +
+        "SELECT uh48, first_ip, priority FROM p2 ORDER BY priority DESC, t ASC, uh48 ASC LIMIT 100"),
+    "f7_corrupt" ->
+      ("SELECT url, side FROM (VALUES " +
+        "('http://ok.test/', 'request')," +
+        "('1234567890', 'request')," +
+        "('http://ok.test/', 'reply')" +
+        ") AS t(url, side)"),
+    "s2_inject" ->
+      ("SELECT url, CAST(hop_count AS INTEGER) AS hop_count, injecting, addurl FROM (VALUES " +
+        "('http://www.x9.test/page.html', 0, true, false)" +
+        ") AS t(url, hop_count, injecting, addurl)"),
+    "s4_warc" ->
+      ("SELECT url, text FROM (VALUES " +
+        "('http://w1.test/a', 'plain body')," +
+        "('http://w2.test/b', 'gzip body')," +
+        "('http://w3.test/c', 'deflate body')" +
+        ") AS t(url, text)"),
+    "a9_status" ->
+      ("SELECT CAST(id AS INTEGER) AS id, CAST(status AS INTEGER) AS status, msg FROM (VALUES " +
+        "(1, 7, 'Job is in progress.')," +
+        "(2, 4, 'Round done.')," +
+        "(3, 4, 'Round done.')," +
+        "(4, 1, 'Job has reached maxRounds limit.')," +
+        "(5, 2, 'Job has reached maxToCrawl limit.')," +
+        "(6, 4, 'Round done.')" +
+        ") AS t(id, status, msg)"),
+    "f4_patterns" ->
+      ("SELECT expr, url, matched FROM (VALUES " +
+        "('^http://www.a.com/', 'http://www.a.com/forum/showthread.php?t=1', true)," +
+        "('^https://', 'http://www.a.com/forum/showthread.php?t=1', false)," +
+        "('$\\.php?t=1', 'http://www.a.com/forum/showthread.php?t=1', true)," +
+        "('showthread', 'http://www.a.com/forum/showthread.php?t=1', true)," +
+        "('!wiki', 'http://www.a.com/forum/showthread.php?t=1', true)," +
+        "('wiki', 'http://www.a.com/forum/showthread.php?t=1', false)," +
+        "('$t=1', 'http://www.a.com/forum/showthread.php?t=1', true)," +
+        "('tld==de,fr', 'http://www.a.de/x', true)," +
+        "('tld==com,org', 'http://www.a.de/x', false)," +
+        "('tld!=com,org', 'http://www.a.de/x', true)," +
+        "('lang==de', 'http://www.a.de/x', true)," +
+        "('lang==en', 'http://www.a.de/x', false)" +
+        ") AS t(expr, url, matched)"),
+    "f6_sitelist" ->
+      ("SELECT url, tag, matched FROM (VALUES " +
+        "('http://example.com/x', '', true)," +
+        "('http://www.example.com/x', '', true)," +
+        "('http://sub.other.com/a', '', true)," +
+        "('http://www.other.com/a', '', false)," +
+        "('http://www.seedy.com/page', '', true)," +
+        "('http://seedy.com/page', '', false)," +
+        "('http://dir.site.com/docs/a.html', '', true)," +
+        "('http://dir.site.com/other/a.html', '', false)," +
+        "('http://random.net/goodword/x', '', true)," +
+        "('http://example.com/badword', '', false)," +
+        "('http://depth.com/x', 'shallow', true)," +
+        "('http://depth.com/x', 'deep', false)," +
+        "('http://example.com/x', 'shallow', false)" +
+        ") AS t(url, tag, matched)"),
+    "x16_classify" ->
+      ("SELECT url, bad_ext, link_loop, spam FROM (VALUES " +
+        "('http://a.test/setup.exe', true, false, false)," +
+        "('http://a.test/video.wmv', true, false, false)," +
+        "('http://a.test/crawl.warc.gz', false, false, false)," +
+        "('http://a.test/x/x/x/page.html', false, true, false)," +
+        "('http://a.test/a/b/a/b/page.html', false, true, false)," +
+        "('http://a.test/a/b/a/c/page.html', false, false, false)," +
+        "('http://www.pornsite.test/clean/path', false, false, true)," +
+        "('http://hornyear.com/', false, false, true)," +
+        "('http://www.middlesex.test/', false, false, false)," +
+        "('http://analog-devices.test/', false, false, false)," +
+        "('http://fuckedcompany.com/', false, false, false)," +
+        "('http://sexstudies.someu.edu/', false, false, false)," +
+        "('http://a-very-long-hyphenated-host-name.test/', false, false, true)," +
+        "('http://www.example.com/', false, false, false)" +
+        ") AS t(url, bad_ext, link_loop, spam)"),
+    "x7_charset" ->
+      ("SELECT CAST(id AS INTEGER) AS id, text FROM (VALUES " +
+        "(1, '中文測試繁體字網頁 tail')," +
+        "(2, '한국어 테스트 문서 내용')," +
+        "(3, '中文 𝄞 四字节')," +
+        "(4, 'café résumé \"quoted\" €uro')," +
+        "(5, 'no meta tag here: naïve façade ½ cup')," +
+        "(6, 'caf')" +
+        ") AS t(id, text)"),
+    "x17_mime" ->
+      ("SELECT CAST(id AS INTEGER) AS id, parsed, CAST(status AS INTEGER) AS status, CAST(content_type AS INTEGER) AS content_type, charset, gzip, location FROM (VALUES " +
+        "(1, true, 200, 1, 'UTF-8', false, '')," +
+        "(2, true, 404, 1, '', false, '')," +
+        "(3, false, -1, -1, '', false, '')," +
+        "(4, true, 0, 1, '', false, '')," +
+        "(5, true, 200, 1, 'euc-jp', false, '')," +
+        "(6, true, 302, 1, '', false, 'http://a.test/')," +
+        "(7, true, 302, 1, '', false, ' http://a.test/')," +
+        "(8, true, 200, 1, '', true, '')," +
+        "(9, true, 200, 1, '', false, '')," +
+        "(10, true, 200, 4, '', false, '')," +
+        "(11, false, -1, -1, '', false, '')" +
+        ") AS t(id, parsed, status, content_type, charset, gzip, location)"),
     "x10_extract_text" ->
       ("SELECT * FROM (VALUES " +
         "('<p>fish &amp; chips</p>', 'fish & chips')," +

@@ -224,7 +224,7 @@ object Crawl {
   /** F7 request-side corruption predicate (Spider.cpp:4466-4507): url
     * must start "http" (or a digit — pagereindex docid) and addedTime
     * must not be >1 day in the future. */
-  private def requestsFiltered(df: DataFrame, now: Long, cfg: Config): DataFrame =
+  private[graft] def requestsFiltered(df: DataFrame, now: Long, cfg: Config): DataFrame =
     if (!cfg.corruptionFilters) df
     else df.filter(
       (col("url").startsWith("http") ||
@@ -236,7 +236,7 @@ object Crawl {
     * an older good reply (or none) is used instead. (The reference's
     * langId-byte check has no analogue here: lang is a string column and
     * cannot hold an out-of-enum byte.) */
-  private def repliesFiltered(df: DataFrame, now: Long, cfg: Config): DataFrame =
+  private[graft] def repliesFiltered(df: DataFrame, now: Long, cfg: Config): DataFrame =
     if (!cfg.corruptionFilters) df
     else df.filter(col("spidered_time") <= lit(now + 1) && col("http_status") < 1000)
 
@@ -247,6 +247,15 @@ object Crawl {
   private def applyDoleCaps(batch: Dataset[FetchTask], cfg: Config): Dataset[FetchTask] = {
     import batch.sparkSession.implicits._
     val priCap = cfg.rules.groupBy(_.priority).map { case (p, rs) => p -> rs.map(_.maxSpidersPerRule).max }
+    doleCapsDF(batch.toDF(), priCap, cfg.maxSpidersGlobal).as[FetchTask]
+  }
+
+  /** The A4 cap kernel on any frame with (priority, first_ip,
+    * spider_time_ms, uh48) columns — split out of `applyDoleCaps` so the
+    * driver oracle (`a4_dole_caps`) can exercise it against a plain SQL
+    * re-statement. `priCap` maps priority → max maxSpidersPerRule of the
+    * rules at that priority (Spider.cpp:7607-7626). */
+  def doleCapsDF(batch: DataFrame, priCap: Map[Int, Int], maxGlobal: Int): DataFrame = {
     val capExpr = coalesce(
       element_at(map(priCap.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*), col("priority")),
       lit(0))
@@ -261,7 +270,7 @@ object Crawl {
       .orderBy(col("spider_time_ms").asc, col("uh48").asc)
     val wp = Window.partitionBy(col("priority"))
       .orderBy(col("spider_time_ms").asc, col("uh48").asc, col("first_ip").asc)
-    batch.toDF()
+    batch
       .withColumn("iprank", row_number().over(wpi))
       .filter(col("iprank") <= capExpr)
       .drop("iprank")
@@ -269,8 +278,7 @@ object Crawl {
       .filter(col("prank") <= capExpr)
       .drop("prank")
       .orderBy(col("priority").desc, col("spider_time_ms").asc, col("uh48").asc)
-      .limit(cfg.maxSpidersGlobal) // TakeOrderedAndProject, no full sort
-      .as[FetchTask]
+      .limit(maxGlobal) // TakeOrderedAndProject, no full sort
   }
 
   /** Does the rule profile reference an A6 quota token? Mirrors the
@@ -1583,6 +1591,16 @@ object Crawl {
       case SeedsError => "All seeds had an error preventing crawling."
       case _ => "Unknown status."
     }
+    /** Per-iteration status conversion (Spider.cpp:14606-14633): the
+      * maxToCrawl cap wins, an exhausted round converts to MAXROUNDS
+      * only when m_maxCrawlRounds > 0 (Spider.cpp:6600-6603 — 0 and -1
+      * both mean "no round limit"), else the round is merely done. */
+    def convert(maxToCrawl: Long, downloaded: Long, maxRounds: Int,
+                round: Int, scheduled: Long): Int =
+      if (maxToCrawl >= 0 && downloaded >= maxToCrawl) MaxToCrawl
+      else if (scheduled == 0) {
+        if (maxRounds > 0 && round >= maxRounds) MaxRounds else RoundDone
+      } else InProgress
   }
 
   final case class IterationResult(scheduled: Long, fetched: Long, robotsDenied: Long,
@@ -1971,7 +1989,19 @@ object Crawl {
     // fight it for task slots. The fresh count IS the new-url metric
     // (revised EFAKEFIRSTIP re-adds are re-shards, not new urls —
     // Spider.cpp:4279-4282 skips fakeFirstIp in m_totalNewSpiderRequests).
-    val newUrls = timed("s2_materialize") { val n = freshP.count(); revisedP.count(); n }
+    // ONE shuffle-free job materializes BOTH caches and returns the
+    // fresh count (per-partition tallies summed on the driver — a
+    // count() each would be two jobs, and an agg() would shuffle)
+    val newUrls = timed("s2_materialize") {
+      import org.apache.spark.sql.Encoders
+      freshP.toDF().select(lit(0).as("t"))
+        .unionByName(revisedP.toDF().select(lit(1).as("t")))
+        .as[Int](Encoders.scalaInt)
+        .mapPartitions { it =>
+          var f = 0L; it.foreach(t => if (t == 0) f += 1); Iterator(f)
+        }(Encoders.scalaLong)
+        .collect().sum
+    }
 
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -1999,7 +2029,6 @@ object Crawl {
     // DRIVER at construction time — ~0.5-1s per state table. The eleven
     // tables are independent, so each plan is built on its own thread;
     // the segment costs max(plan) instead of sum(plan).
-    def planned[T](body: => T): Future[T] = Future(body)
     def plannedT[T](lbl: String)(body: => T): Future[T] = Future {
       val t = System.nanoTime(); val r = body
       if (timing) println(f"[iter $i] plan_$lbl%-12s ${(System.nanoTime() - t) / 1e9}%6.2f s")
@@ -2039,11 +2068,34 @@ object Crawl {
     val inlKeys = (df: DataFrame) => Seq(df("uh48"))
     val tagKeys = (df: DataFrame) => Seq(df("site_hash32"))
     val quotaKeys = (df: DataFrame) => Seq(df("key"))
-    val fIpIds = planned { StateTable.touchedBuckets(ipUpdates.toDF(), ipKeys, bIp) }
-    val fDomIds = planned { StateTable.touchedBuckets(domUpdates.toDF(), domKeys, bDom) }
-    val fInlIds = planned { StateTable.touchedBuckets(newPairs, inlKeys, bInl) }
-    val fTagIds = planned { StateTable.touchedBuckets(tagDelta.toDF(), tagKeys, bTag) }
-    val fQuotaIds = planned { StateTable.touchedBuckets(quotaDelta, quotaKeys, bQuota) }
+    val vecKeys = (df: DataFrame) => Seq(df("uh48"))
+    // ONE fused job for every table's touched-bucket ids (was seven
+    // one-task jobs — at micro scale the job-scheduling fixed cost of
+    // seven collects outweighed the scans; the fused query is
+    // shuffle-free so AQE can't re-split it). The seen/vec slots are
+    // scanned only when their chain exists (pre-chain workdirs write
+    // FULL this iteration and ignore the ids).
+    val fAllIds = plannedT("ids") {
+      val parts = Seq.newBuilder[(DataFrame, DataFrame => Seq[org.apache.spark.sql.Column], Int)]
+      parts += ((ipUpdates.toDF(), ipKeys, bIp))
+      parts += ((domUpdates.toDF(), domKeys, bDom))
+      parts += ((newPairs, inlKeys, bInl))
+      parts += ((tagDelta.toDF(), tagKeys, bTag))
+      parts += ((quotaDelta, quotaKeys, bQuota))
+      if (st.seenOnDisk) parts += ((freshP.toDF().select("uh48"), seenKeys, bSeen))
+      if (st.vecsOnDisk) parts += ((vecDelta, vecKeys, bVec))
+      val r = StateTable.touchedBucketsMulti(parts.result())
+      val seenIds = if (st.seenOnDisk) r(5) else Set.empty[Int]
+      val vecIds = if (st.vecsOnDisk) r(if (st.seenOnDisk) 6 else 5) else Set.empty[Int]
+      (r(0), r(1), r(2), r(3), r(4), seenIds, vecIds)
+    }
+    val fIpIds = fAllIds.map(_._1)
+    val fDomIds = fAllIds.map(_._2)
+    val fInlIds = fAllIds.map(_._3)
+    val fTagIds = fAllIds.map(_._4)
+    val fQuotaIds = fAllIds.map(_._5)
+    val fSeenIds = fAllIds.map(_._6)
+    val fVecIds = fAllIds.map(_._7)
 
     val fMergedIp = plannedT("ip") {
       val ipIds = await(fIpIds)
@@ -2097,11 +2149,6 @@ object Crawl {
     // bare union of the touched buckets' prior rows with the fresh
     // keys, no distinct. A pre-chain workdir unions the full
     // requests-derived view once and writes the chain FULL.
-    val fSeenIds = planned {
-      if (st.seenOnDisk)
-        StateTable.touchedBuckets(freshP.toDF().select("uh48"), seenKeys, bSeen)
-      else Set.empty[Int]
-    }
     val fMergedSeen = plannedT("seen") {
       val seenIds = await(fSeenIds)
       val prior =
@@ -2113,11 +2160,6 @@ object Crawl {
     // title_vecs merge, O(batch + touched buckets): latest vector per
     // uh48 (delta t=now shadows prior t=0). A pre-chain workdir merges
     // the titledb-derived full table instead and writes the chain FULL.
-    val vecKeys = (df: DataFrame) => Seq(df("uh48"))
-    val fVecIds = planned {
-      if (st.vecsOnDisk) StateTable.touchedBuckets(vecDelta, vecKeys, bVec)
-      else Set.empty[Int]
-    }
     val fMergedVec = plannedT("vec") {
       val vecIds = await(fVecIds)
       val prior =
@@ -2618,18 +2660,10 @@ object Crawl {
         cfg, redirClosure, chained = st, async = cfg.loopChainState)
       if (cfg.loopChainState) st = Some(nextSt)
       downloaded += r0.fetched
-      val status =
-        if (cfg.maxToCrawl >= 0 && downloaded >= cfg.maxToCrawl) SpiderStatus.MaxToCrawl
-        else if (r0.scheduled == 0) {
-          // round exhausted; MAXROUNDS conversion (Spider.cpp:14606-14633)
-          // — gated on maxRounds > 0 like the reference's
-          // m_maxCrawlRounds > 0 (Spider.cpp:6600-6603): 0 and -1 both
-          // mean "no round limit"
-          val s = if (cfg.maxRounds > 0 && round >= cfg.maxRounds)
-            SpiderStatus.MaxRounds else SpiderStatus.RoundDone
-          round += 1
-          s
-        } else SpiderStatus.InProgress
+      val status = SpiderStatus.convert(cfg.maxToCrawl, downloaded,
+        cfg.maxRounds, round, r0.scheduled)
+      if (status == SpiderStatus.RoundDone || status == SpiderStatus.MaxRounds)
+        round += 1
       if (status == SpiderStatus.MaxToCrawl || status == SpiderStatus.MaxRounds)
         stopStatus = status
       val r = r0.copy(status = status)

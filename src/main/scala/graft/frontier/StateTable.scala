@@ -219,4 +219,33 @@ object StateTable {
     delta.select(bucketCol(keys(delta), buckets).as("b")).distinct()
       .as[Int](Encoders.scalaInt).collect().toSet
   }
+
+  /** Touched-bucket ids for SEVERAL tables in ONE Spark job (the
+    * per-iteration loop launches one of these per state table — at
+    * micro scale the job-scheduling fixed cost of seven one-task jobs
+    * outweighs the work itself). The fused query is deliberately
+    * SHUFFLE-FREE: each branch maps its — cached — delta to
+    * (table, bucket) pairs deduped per partition (a partition-local
+    * Set, bounded by min(rows, buckets)), the union collects once,
+    * and the driver groups. No exchange means AQE cannot split the
+    * query into per-stage jobs either — exactly one job regardless of
+    * table count. Single-bucket tables skip the scan like
+    * `touchedBuckets` (nothing to prune). */
+  def touchedBucketsMulti(
+      parts: Seq[(DataFrame, DataFrame => Seq[Column], Int)]): Seq[Set[Int]] = {
+    import org.apache.spark.sql.Encoders
+    val need = parts.zipWithIndex.filter { case ((_, _, b), _) => b > 1 }
+    if (need.isEmpty) return parts.map(_ => Set(0))
+    val tagged = need.map { case ((df, keys, b), idx) =>
+      df.select(lit(idx).as("_1"), bucketCol(keys(df), b).as("_2"))
+        .as[(Int, Int)](Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt))
+        .mapPartitions(it => it.toSet.iterator)(
+          Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt))
+    }.reduce(_ union _)
+    val byTable = tagged.collect().groupBy(_._1)
+    parts.zipWithIndex.map { case ((_, _, b), idx) =>
+      if (b == 1) Set(0)
+      else byTable.get(idx).map(_.map(_._2).toSet).getOrElse(Set.empty[Int])
+    }
+  }
 }

@@ -20,6 +20,13 @@ object LoopProfile {
       .config("spark.eventLog.dir", "/tmp/sparklogs")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // jobs-per-iteration: the micro-scale loop is bound by job-scheduling
+    // fixed cost, so the count is the first-order metric to move
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    })
     val work = Files.createTempDirectory(s"graft_loopprof").toString
     val spec = Corpus.small
     val cfg = Crawl.Config(clockStepMs = 60000L, seenBuckets = 8, expectedSeenPerBucket = 20000L,
@@ -29,7 +36,7 @@ object LoopProfile {
     val res = Crawl.run(spark, work, spec, iters, cfg, seedUrls = seeds)
     val secs = (System.nanoTime() - t0) / 1e9
     val sched = res.map(_.scheduled).sum
-    println(f"TOTAL $secs%.1f s, scheduled=$sched, rate=${sched / secs}%.1f/s")
+    println(f"TOTAL $secs%.1f s, scheduled=$sched, rate=${sched / secs}%.1f/s, jobs=${jobs.get}, jobs/iter=${jobs.get.toDouble / iters}%.1f")
     spark.stop()
   }
 }

@@ -8,6 +8,11 @@ object GraftShim {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Drain the async listener bus (private[spark]) — lets tests assert
+    * on SparkListener-observed facts (e.g. job counts) without sleeps. */
+  def waitListeners(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** DataFrame from a logical plan (Dataset.ofRows is private[sql]) —
     * used to inject graft's custom logical operators (plans.WinnerDole). */
   def ofRows(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =

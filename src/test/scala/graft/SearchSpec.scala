@@ -73,15 +73,16 @@ class SearchSpec extends AnyFunSuite {
       (1L, "fast spark x x fast", "a"),
       // doc 2: fast@0 ... spark@4 → no pair at w=2; tf sum 2
       (2L, "fast x x x spark", "b"),
-      // doc 3: fast@0 spark@1 fast@2 spark@3 → cross-term pairs within 2:
-      //   (0,1),(0,2? same term no),(1,2),(2,3),(1,3) = 4 pairs; tf 4
+      // doc 3: fast@0 spark@1 fast@2 spark@3 → CROSS-term pairs within
+      //   w=2: f0-s1, f2-s1, f2-s3 (f0-s3 is 3 apart; s1-s3 and f0-f2
+      //   are same-term, never paired) = 3 pairs; tf 4
       (3L, "fast spark fast spark", "c")
     ).toDF("doc_id", "text", "source")
     val r = Search.searchTopK(d, "doc_id", "text", "source", "fast spark", 10,
         proxWindow = 2, proxBonus = 100L)
       .as[(Long, Long, Int)].collect().toSeq
-    // doc3: 4 + 400 = 404; doc1: 3 + 100 = 103; doc2: 2 + 0
-    assert(r == Seq((3L, 404L, 1), (1L, 103L, 2), (2L, 2L, 3)))
+    // doc3: 4 + 300 = 304; doc1: 3 + 100 = 103; doc2: 2 + 0
+    assert(r == Seq((3L, 304L, 1), (1L, 103L, 2), (2L, 2L, 3)))
   }
 
   test("proxWindow=0 and single-term queries skip the pair join entirely") {

@@ -94,4 +94,29 @@ class StateTableSpec extends AnyFunSuite {
     StateTable.writeFull(kv(1 -> 2L), Seq(col("key")), B, s"${Crawl.snapDir(w, 2)}/t")
     assert(loadAll(w, 2) == Map(1 -> 2L), "key 9 must not leak from snap 0")
   }
+
+  test("touchedBucketsMulti ≡ per-table touchedBuckets, in one job") {
+    val a = kv(1 -> 1L, 2 -> 2L, 33 -> 3L)
+    val b = kv(5 -> 5L)
+    val c = kv() // empty delta → no touched buckets
+    val parts = Seq[(DataFrame, DataFrame => Seq[org.apache.spark.sql.Column], Int)](
+      (a, keys, B), (b, keys, B), (c, keys, B), (a, keys, 1))
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    val got = try {
+      val r = StateTable.touchedBucketsMulti(parts)
+      // listener events are posted asynchronously
+      org.apache.spark.sql.GraftShim.waitListeners(spark)
+      r
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(got(0) == StateTable.touchedBuckets(a, keys, B))
+    assert(got(1) == StateTable.touchedBuckets(b, keys, B))
+    assert(got(2) == Set.empty[Int])
+    assert(got(3) == Set(0), "single-bucket table skips the scan")
+    assert(jobs.get == 1, s"fused collection must be ONE job, ran ${jobs.get}")
+  }
 }
