@@ -539,7 +539,13 @@ object SparkEntry {
     "q3_search_prox" -> ((s, d) =>
       graft.search.Search.searchTopK(read(s, d, "documents"),
         "doc_id", "text", "source", "spark hash merge", 20,
-        proxWindow = 8, proxBonus = 10L))
+        proxWindow = 8, proxBonus = 10L)),
+    // density-rank scoring (Posdb's per-sentence density weights,
+    // squared — XmlDoc.cpp getDensityRanks + Posdb.cpp initWeights):
+    // a hit in a terse sentence outranks one in a run-on
+    "q4_search_density" -> ((s, d) =>
+      graft.search.Search.searchDensityTopK(read(s, d, "documents"),
+        "doc_id", "text", "source", "spark hash merge", 20))
   )
 
   /** Builds a DuckDB VALUES oracle from a committed golden tsv. `cols`:
@@ -596,6 +602,21 @@ object SparkEntry {
         "FROM base LEFT JOIN near ON base.doc_id = near.doc_id), " +
         "clustered AS (SELECT doc_id, score FROM (SELECT doc_id, score, row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS sr FROM scored) WHERE sr <= 2), " +
         "topk AS (SELECT doc_id, CAST(score AS BIGINT) AS score FROM clustered ORDER BY score DESC, doc_id ASC LIMIT 20) " +
+        "SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank FROM topk"),
+    "q4_search_density" ->
+      ("WITH sents AS (SELECT doc_id, source, unnest(arr) AS sent, generate_subscripts(arr, 1) - 1 AS sidx " +
+        "FROM (SELECT doc_id, source, string_split_regex(text, '[.!?]+') AS arr FROM documents)), " +
+        "words AS (SELECT doc_id, source, sidx, unnest(regexp_split_to_array(lower(sent), '[^a-z0-9]+')) AS w FROM sents), " +
+        "toks AS (SELECT * FROM words WHERE w <> ''), " +
+        "stats AS (SELECT doc_id, sidx, least(1.0, 0.35 * power(1.03445, greatest(1, 32 - count(*)))) AS dw FROM toks GROUP BY 1,2), " +
+        "matched AS (SELECT * FROM toks WHERE w IN ('spark','hash','merge')), " +
+        "anddocs AS (SELECT doc_id FROM matched GROUP BY 1 HAVING count(DISTINCT w) = 3), " +
+        "persent AS (SELECT doc_id, source, sidx, count(*) AS m FROM matched GROUP BY 1,2,3), " +
+        "scored AS (SELECT p.doc_id AS doc_id, p.source AS source, CAST(round(1e6 * sum(p.m * s.dw * s.dw)) AS BIGINT) AS score " +
+        "FROM persent p JOIN stats s ON p.doc_id = s.doc_id AND p.sidx = s.sidx " +
+        "WHERE p.doc_id IN (SELECT doc_id FROM anddocs) GROUP BY 1,2), " +
+        "clustered AS (SELECT doc_id, score FROM (SELECT doc_id, score, row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS sr FROM scored) WHERE sr <= 2), " +
+        "topk AS (SELECT doc_id, score FROM clustered ORDER BY score DESC, doc_id ASC LIMIT 20) " +
         "SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank FROM topk"),
     "dedup_embedding_lsh" -> valuesOracle("textops_embedding_lsh.tsv",
       Seq(("vec_a", "BIGINT", false), ("vec_b", "BIGINT", false))),

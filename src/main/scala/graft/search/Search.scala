@@ -140,6 +140,78 @@ object Search {
         Window.orderBy(col("score").desc, col("doc_id").asc)))
   }
 
+  /** Density-rank scoring — the next Posdb step after q3's proximity:
+    * the reference weights every posting by the DENSITY of its
+    * containing sentence at index time (getDensityRanks,
+    * XmlDoc.cpp:41627-41699: per sentence, densityRank =
+    * MAXDENSITYRANK(31) - (alnumWords-1), floored at 1 — a term in a
+    * terse sentence outranks one buried in a run-on), then maps rank →
+    * weight via s_densityWeights (Posdb.cpp:1100-1112: w(dr) =
+    * min(1.0, 0.35 × 1.03445^dr)) and multiplies the occurrence's
+    * score by the weight TWICE (Posdb.cpp:3124-3125 — squared, so
+    * single-term scores stay on the term-pair scale).
+    *
+    * Slice stand-ins, documented: sentence boundaries are a [.!?]+
+    * split (the reference's Sections sentence machinery is out of
+    * scope); every occurrence scores (no top-N-per-list truncation);
+    * hashgroup/diversity/spam weights are 1 (diversity is disabled in
+    * the reference's own initWeights; body hashgroup weight is the
+    * baseline). Scores are emitted in integer MICRO-units
+    * (round(1e6·Σw²)) so the driver's oracle compare is immune to
+    * double-sum association order.
+    *
+    * Scale shape: everything keys on (doc_id, sentence) — one
+    * hash-aggregate for sentence stats, one for matched occurrences,
+    * an equi-join between them, and the same clustered top-k tail as
+    * searchTopK. No window over the corpus, no cross join. */
+  def searchDensityTopK(docs: DataFrame, idCol: String, textCol: String,
+                        siteCol: String, query: String, k: Int,
+                        perSite: Int = 2): DataFrame = {
+    val terms = query.toLowerCase.split(TokenRe).filter(_.nonEmpty).distinct
+    require(terms.nonEmpty, "empty query")
+    val sites = docs.select(col(idCol).as("site_doc_id"), col(siteCol).as("site"))
+
+    val words = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "[.!?]+")).as(Seq("sidx", "sent")))
+      .select(col("doc_id"), col("sidx"),
+        explode(split(lower(col("sent")), TokenRe)).as("word"))
+      .filter(col("word") =!= "")
+
+    // per-sentence density: dr = max(1, 31 - (alnum-1)) = max(1, 32-cnt)
+    val stats = words.groupBy(col("doc_id"), col("sidx"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id").as("st_doc"), col("sidx").as("st_sidx"),
+        least(lit(1.0), lit(0.35) *
+          pow(lit(1.03445), greatest(lit(1), lit(32) - col("cnt"))))
+          .as("dw"))
+
+    val matched = words.filter(col("word").isInCollection(terms.toSeq))
+    val andDocs = matched.groupBy("doc_id")
+      .agg(countDistinct(col("word")).as("nt"))
+      .filter(col("nt") === terms.length).select("doc_id")
+
+    val scored = matched.groupBy(col("doc_id"), col("sidx"))
+      .agg(count(lit(1)).as("m"))
+      .join(stats, col("doc_id") === col("st_doc") && col("sidx") === col("st_sidx"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("m") * col("dw") * col("dw")) * lit(1e6))
+        .cast("long").as("score"))
+      .join(andDocs, Seq("doc_id"), "left_semi")
+
+    val wSite = Window.partitionBy(col("site"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .join(sites, col("doc_id") === col("site_doc_id"))
+      .withColumn("site_rank", row_number().over(wSite))
+      .filter(col("site_rank") <= perSite)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)))
+  }
+
   /** Same query over the crawl's own titledb (uh48, url, extracted
     * text): site = SiteGetter site hash, the real Msg40 clustering key
     * (the codegen'd SiteKeyHash32Expr — hash32 of the SiteGetter site). */

@@ -94,4 +94,29 @@ class SearchSpec extends AnyFunSuite {
       proxWindow = 8)
     assert(single.as[(Long, Long, Int)].collect().toSeq == Seq((1L, 1L, 1)))
   }
+
+  test("density scoring: per-sentence rank → squared weight, hand-computed") {
+    import spark.implicits._
+    // reference weight table: w(dr) = min(1, 0.35 * 1.03445^dr)
+    // (Posdb.cpp initWeights), dr = max(1, 31 - (alnum-1))
+    // (XmlDoc.cpp getDensityRanks)
+    def w(cnt: Long): Double =
+      math.min(1.0, 0.35 * math.pow(1.03445, math.max(1, 32 - cnt)))
+    val d = Seq(
+      // doc 1: "spark" alone in a terse sentence (dr=31, w=1.0) +
+      // "hash merge" in a 2-word sentence (dr=30)
+      (1L, "spark. hash merge", "a"),
+      // doc 2: all three terms buried in one 12-word run-on
+      (2L, "spark and hash and merge live in a long winded sentence here", "b"),
+      // doc 3: missing "merge" → AND-filtered out
+      (3L, "spark. hash.", "c")
+    ).toDF("doc_id", "text", "source")
+    val r = Search.searchDensityTopK(d, "doc_id", "text", "source",
+        "spark hash merge", 10)
+      .as[(Long, Long, Int)].collect().toSeq
+    val s1 = Math.round(1e6 * (1 * w(1) * w(1) + 2 * w(2) * w(2)))
+    val s2 = Math.round(1e6 * (3 * w(12) * w(12)))
+    assert(s1 > s2, "terse sentences must outrank the run-on")
+    assert(r == Seq((1L, s1, 1), (2L, s2, 2)))
+  }
 }
