@@ -1384,7 +1384,8 @@ object Crawl {
     * Readers union deltas back to the last full snapshot, so an
     * iteration writes O(new urls), not O(frontier). Parquet column
     * pruning keeps the seen-set scan (uh48 only) cheap. */
-  private def loadTable(spark: SparkSession, workdir: String, i: Int, name: String): DataFrame = {
+  private def loadTable(spark: SparkSession, workdir: String, i: Int, name: String,
+      schema: org.apache.spark.sql.types.StructType = null): DataFrame = {
     var parts = List.empty[String]
     var k = i
     var done = false
@@ -1398,24 +1399,31 @@ object Crawl {
       if (new java.io.File(full).exists) { parts ::= full; done = true }
       else k -= 1
     }
-    parts.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    // explicit schema when the caller knows it: the footer-reading
+    // schema-inference job per chain part goes away (the LSM chain is
+    // many small dirs by design — at 5 iters that was ~7 jobs/iter)
+    val reader = if (schema != null) spark.read.schema(schema) else spark.read
+    parts.map(reader.parquet(_)).reduce(_ unionByName _)
   }
 
   def loadRequests(spark: SparkSession, workdir: String, i: Int): Dataset[FrontierRequest] = {
     import spark.implicits._
-    loadTable(spark, workdir, i, "requests").as[FrontierRequest]
+    loadTable(spark, workdir, i, "requests",
+      implicitly[org.apache.spark.sql.Encoder[FrontierRequest]].schema).as[FrontierRequest]
   }
 
   def loadReplies(spark: SparkSession, workdir: String, i: Int): Dataset[FrontierReply] = {
     import spark.implicits._
-    loadTable(spark, workdir, i, "replies").as[FrontierReply]
+    loadTable(spark, workdir, i, "replies",
+      implicitly[org.apache.spark.sql.Encoder[FrontierReply]].schema).as[FrontierReply]
   }
 
   /** S7: the crawled-content table as of snapshot i (delta chain back
     * to the last compaction, latest record per uh48). */
   def loadTitledb(spark: SparkSession, workdir: String, i: Int): Dataset[TitleRow] = {
     import spark.implicits._
-    val df = loadTable(spark, workdir, i, "titledb").as[TitleRow]
+    val df = loadTable(spark, workdir, i, "titledb",
+      implicitly[org.apache.spark.sql.Encoder[TitleRow]].schema).as[TitleRow]
     df.groupByKey(_.uh48).reduceGroups((a, b) => if (a.spidered_time >= b.spidered_time) a else b)
       .map(_._2)
   }
@@ -1425,7 +1433,8 @@ object Crawl {
     * html/text payload columns are never read, and the latest-per-url
     * reduction shuffles 124-byte vectors, not page bodies. */
   def loadTitleVecs(spark: SparkSession, workdir: String, i: Int): DataFrame =
-    loadTable(spark, workdir, i, "titledb")
+    loadTable(spark, workdir, i, "titledb",
+        org.apache.spark.sql.Encoders.product[TitleRow].schema)
       .select(col("uh48"), col("spidered_time"), col("sample_vec"))
       .groupBy("uh48")
       .agg(max(struct(col("spidered_time"), col("sample_vec"))).as("s"))
@@ -1512,7 +1521,8 @@ object Crawl {
     * written before this table existed (resume compat). */
   def loadIpCounts(spark: SparkSession, workdir: String, i: Int): DataFrame = {
     val path = s"${snapDir(workdir, i)}/ip_counts"
-    if (new java.io.File(path).exists) spark.read.parquet(path)
+    if (new java.io.File(path).exists)
+      spark.read.schema("first_ip INT, n BIGINT").parquet(path)
     else loadRequests(spark, workdir, i).groupBy("first_ip")
       .agg(count(lit(1)).as("n"))
   }
@@ -1535,7 +1545,7 @@ object Crawl {
     val marker = new java.io.File(s"${snapDir(workdir, i)}/ip_next.rules")
     if (new java.io.File(dir).exists && marker.exists &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim == rulesFingerprint(cfg))
-      Some(spark.read.parquet(dir))
+      Some(spark.read.schema("first_ip INT, next_ms BIGINT").parquet(dir))
     else None
   }
 
@@ -1790,7 +1800,8 @@ object Crawl {
     // (AQE only re-plans), and big batches keep AQE (skew/coalescing
     // matter there). The sibling shares the SparkContext and cache.
     val quietWrites: Option[SparkSession] =
-      if (scheduled >= 10000L) None
+      if (scheduled >= 10000L ||
+        spark.conf.get("spark.sql.adaptive.enabled", "true") == "false") None
       else Some {
         val q = spark.newSession()
         spark.conf.getAll.foreach { case (k, v) =>
@@ -2652,12 +2663,35 @@ object Crawl {
     var downloaded = 0L
     var round = 1
     var stopStatus = -1
+    // micro-batch iterations run END-TO-END on an AQE-off sibling
+    // session (shared SparkContext + cache; strategies re-register per
+    // df session): under AQE every query-stage materialization is its
+    // own Spark job, and below ~10k urls/iteration the loop is bound by
+    // job-scheduling fixed cost, not work (80 → 50 jobs/iter measured
+    // from AQE alone). Rows are byte-equivalent — AQE only re-plans
+    // execution. Big batches keep AQE: skew-join splitting and
+    // partition coalescing are the 100×-scale story there. Gated on the
+    // PREVIOUS iteration's scheduled count (seeds for the first; a
+    // resume without that signal stays on the AQE session).
+    lazy val quietSpark: SparkSession = {
+      val q = spark.newSession()
+      spark.conf.getAll.foreach { case (k, v) =>
+        try q.conf.set(k, v) catch { case _: Throwable => () }
+      }
+      q.conf.set("spark.sql.adaptive.enabled", "false")
+      q
+    }
+    var lastSched: Long =
+      if (start == 1) (if (seedUrls.nonEmpty) seedUrls else Corpus.seeds(spec)).size.toLong
+      else Long.MaxValue
     val out = scala.collection.mutable.ListBuffer[IterationResult]()
     var i = start
     while (i < start + iterations && stopStatus < 0) {
       val it0 = System.nanoTime()
-      val (r0, nextSt) = runIterationChained(spark, workdir, i, pages, robots, hostMeta,
+      val iterSpark = if (lastSched < 10000L) quietSpark else spark
+      val (r0, nextSt) = runIterationChained(iterSpark, workdir, i, pages, robots, hostMeta,
         cfg, redirClosure, chained = st, async = cfg.loopChainState)
+      lastSched = r0.scheduled
       if (cfg.loopChainState) st = Some(nextSt)
       downloaded += r0.fetched
       val status = SpiderStatus.convert(cfg.maxToCrawl, downloaded,

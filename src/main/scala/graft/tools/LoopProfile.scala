@@ -23,9 +23,16 @@ object LoopProfile {
     // jobs-per-iteration: the micro-scale loop is bound by job-scheduling
     // fixed cost, so the count is the first-order metric to move
     val jobs = new java.util.concurrent.atomic.AtomicLong
+    val jobLog = sys.env.get("P_JOBLOG").contains("1")
+    val sites = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        if (jobLog) {
+          val site = js.stageInfos.sortBy(_.stageId).lastOption.map(_.name).getOrElse("?")
+          sites.computeIfAbsent(site, _ => new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
+        }
+      }
     })
     val work = Files.createTempDirectory(s"graft_loopprof").toString
     val spec = Corpus.small
@@ -37,6 +44,12 @@ object LoopProfile {
     val secs = (System.nanoTime() - t0) / 1e9
     val sched = res.map(_.scheduled).sum
     println(f"TOTAL $secs%.1f s, scheduled=$sched, rate=${sched / secs}%.1f/s, jobs=${jobs.get}, jobs/iter=${jobs.get.toDouble / iters}%.1f")
+    if (jobLog) {
+      import scala.jdk.CollectionConverters._
+      sites.asScala.toSeq.sortBy(-_._2.get).foreach { case (s, n) =>
+        println(f"JOBSITE ${n.get}%5d  $s")
+      }
+    }
     spark.stop()
   }
 }
