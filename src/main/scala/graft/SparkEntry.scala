@@ -545,7 +545,14 @@ object SparkEntry {
     // a hit in a terse sentence outranks one in a run-on
     "q4_search_density" -> ((s, d) =>
       graft.search.Search.searchDensityTopK(read(s, d, "documents"),
-        "doc_id", "text", "source", "spark hash merge", 20))
+        "doc_id", "text", "source", "spark hash merge", 20)),
+    // quoted-phrase query served from bigram phrase termlists
+    // (Phrases.cpp setPhrase ids; Query.cpp in-quotes terms): the n-1
+    // bigram lists intersect on the positional chain pos_k = start+k;
+    // score = full-phrase occurrence count
+    "q5_search_phrase" -> ((s, d) =>
+      graft.search.Search.searchPhraseTopK(read(s, d, "documents"),
+        "doc_id", "text", "source", "slow hash batch", 20))
   )
 
   /** Builds a DuckDB VALUES oracle from a committed golden tsv. `cols`:
@@ -617,6 +624,17 @@ object SparkEntry {
         "WHERE p.doc_id IN (SELECT doc_id FROM anddocs) GROUP BY 1,2), " +
         "clustered AS (SELECT doc_id, score FROM (SELECT doc_id, score, row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS sr FROM scored) WHERE sr <= 2), " +
         "topk AS (SELECT doc_id, score FROM clustered ORDER BY score DESC, doc_id ASC LIMIT 20) " +
+        "SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank FROM topk"),
+    "q5_search_phrase" ->
+      ("WITH toks AS (SELECT doc_id, source, unnest(arr) AS w, generate_subscripts(arr, 1) - 1 AS pos " +
+        "FROM (SELECT doc_id, source, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS arr FROM documents)), " +
+        "st AS (SELECT a.doc_id AS doc_id, a.source AS source " +
+        "FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 " +
+        "JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2 " +
+        "WHERE a.w = 'slow' AND b.w = 'hash' AND c.w = 'batch'), " +
+        "scored AS (SELECT doc_id, source, count(*) AS score FROM st GROUP BY 1,2), " +
+        "clustered AS (SELECT doc_id, score FROM (SELECT doc_id, score, row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS sr FROM scored) WHERE sr <= 2), " +
+        "topk AS (SELECT doc_id, CAST(score AS BIGINT) AS score FROM clustered ORDER BY score DESC, doc_id ASC LIMIT 20) " +
         "SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank FROM topk"),
     "dedup_embedding_lsh" -> valuesOracle("textops_embedding_lsh.tsv",
       Seq(("vec_a", "BIGINT", false), ("vec_b", "BIGINT", false))),

@@ -124,6 +124,14 @@ object Search {
     // site join is a broadcast at sane site-table sizes; at 100 TB the
     // site hash rides IN the postings row (like site_hash32 in titledb)
     // and this join disappears.
+    clusteredTopK(scored, sites, k, perSite)
+  }
+
+  /** Shared result tail: site clustering before the global top-k
+    * (Msg40.cpp:1822 gotSummary clusters before filling the final
+    * window), then TakeOrderedAndProject — TopTree's bounded heap. */
+  private def clusteredTopK(scored: DataFrame, sites: DataFrame,
+                            k: Int, perSite: Int): DataFrame = {
     val wSite = Window.partitionBy(col("site"))
       .orderBy(col("score").desc, col("doc_id").asc)
     scored
@@ -199,17 +207,83 @@ object Search {
         .cast("long").as("score"))
       .join(andDocs, Seq("doc_id"), "left_semi")
 
-    val wSite = Window.partitionBy(col("site"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-    scored
-      .join(sites, col("doc_id") === col("site_doc_id"))
-      .withColumn("site_rank", row_number().over(wSite))
-      .filter(col("site_rank") <= perSite)
-      .select(col("doc_id"), col("score"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(k)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id").asc)))
+    clusteredTopK(scored, sites, k, perSite)
+  }
+
+  /** Phrase termId — Phrases.cpp:118 setPhrase: the two-word phrase id
+    * starts from the first word's id and CONTINUES the tabulation hash
+    * over the second word's bytes at the running byte position
+    * (hash64Lower_utf8_cont, Phrases.cpp:290 with the conti/pos
+    * carry), which for NUL-free lowercase tokens is exactly hash64 of
+    * the concatenated words. */
+  def phraseTermId(w1: String, w2: String): Long = GbHash.hash64(w1 + w2)
+
+  /** Bigram posting lists: one row per ADJACENT alnum word pair,
+    * (term_id = phraseTermId, doc_id, pos of the first word). The
+    * reference indexes these for every document (XmlDoc hashes
+    * m_phraseIds2 into posdb next to the unigrams) — phrase terms are
+    * an INDEX-side artifact precisely so quoted queries never rescan
+    * text. The pair construction is a per-row array zip (no self-join,
+    * no window): split → zip_with(words, words[1:], concat) →
+    * posexplode keeps the first word's raw array position, matching
+    * postings()'s convention. Pairs touching an empty split artifact
+    * (text edges) are dropped, like canPairAcross punts on
+    * non-pairable separators (Phrases.cpp:216). */
+  def bigramPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        split(lower(col(textCol)), TokenRe).as("ws"))
+      .select(col("doc_id"),
+        posexplode(zip_with(col("ws"),
+          slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))),
+          (a, b) => when(a =!= "" && b.isNotNull && b =!= "", concat(a, b))))
+          .as(Seq("pos", "bigram")))
+      .filter(col("bigram").isNotNull)
+      .withColumn("term_id", graft.functions.GraftFunctions.gbHash64b(col("bigram")))
+
+  /** Quoted-phrase query ("exact phrase"), served from the bigram
+    * postings the way the reference serves quoted queries: Query.cpp
+    * marks in-quotes terms and PosdbTable intersects their PHRASE
+    * termlists instead of rescanning documents. An n-word phrase
+    * intersects its n−1 bigram lists with the positional chain
+    * pos_k = start + k — overlapping bigrams pin every word, so the
+    * chain IS the full adjacency verification. score = number of
+    * complete phrase occurrences (phrase tf); same site-clustered
+    * top-k tail as searchTopK. Output: (doc_id, score, rank).
+    *
+    * Scale shape: the literal bigram-id IN-set prunes at the scan
+    * (bigram lists are far more selective than unigrams — the reason
+    * the reference pays to index phrase terms at all); ONE broadcast
+    * of the (slot, term_id) offset table tags each posting with its
+    * phrase slot; ONE hash-aggregate on (doc_id, start) counts
+    * distinct slots (countDistinct, so a phrase with REPEATED bigrams
+    * — "a b a b" — still needs every slot). No corpus self-join, no
+    * window over the corpus. */
+  def searchPhraseTopK(docs: DataFrame, idCol: String, textCol: String,
+                       siteCol: String, phrase: String, k: Int,
+                       perSite: Int = 2): DataFrame = {
+    val ws = phrase.toLowerCase.split(TokenRe).filter(_.nonEmpty)
+    require(ws.length >= 2, "phrase needs at least two words")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val slots = ws.sliding(2).zipWithIndex
+      .map { case (p, i) => (i, phraseTermId(p(0), p(1))) }.toSeq
+    val slotDf = slots.toDF("slot", "slot_term")
+    val sites = docs.select(col(idCol).as("site_doc_id"), col(siteCol).as("site"))
+
+    val posts = bigramPostings(docs, idCol, textCol)
+      .filter(col("term_id").isInCollection(slots.map(_._2).distinct))
+
+    val starts = posts
+      .join(broadcast(slotDf), col("term_id") === col("slot_term"))
+      .select(col("doc_id"), (col("pos") - col("slot")).as("start"), col("slot"))
+      .groupBy(col("doc_id"), col("start"))
+      .agg(countDistinct(col("slot")).as("n_slots"))
+      .filter(col("n_slots") === slots.length)
+
+    val scored = starts.groupBy("doc_id")
+      .agg(count(lit(1)).as("score"))
+    clusteredTopK(scored, sites, k, perSite)
   }
 
   /** Same query over the crawl's own titledb (uh48, url, extracted

@@ -119,4 +119,47 @@ class SearchSpec extends AnyFunSuite {
     assert(s1 > s2, "terse sentences must outrank the run-on")
     assert(r == Seq((1L, s1, 1), (2L, s2, 2)))
   }
+
+  test("phraseTermId is the Phrases.cpp continuation hash (hash64 of the concat)") {
+    // setPhrase starts h at the first word's id and CONTINUES the
+    // tabulation position over the second word's bytes
+    // (hash64Lower_utf8_cont, Phrases.cpp:290) — i.e. one hash64 over
+    // the concatenated bytes, NOT a restart-at-position-0 rehash
+    assert(Search.phraseTermId("slow", "hash") == graft.core.GbHash.hash64("slowhash"))
+    assert(Search.phraseTermId("slow", "hash") !=
+      graft.core.GbHash.hash64b("hash", graft.core.GbHash.hash64b("slow")))
+    // the concat hash cannot see the split point — same property as the
+    // reference's ids (a continuation hash only depends on the bytes)
+    assert(Search.phraseTermId("slowh", "ash") == Search.phraseTermId("slow", "hash"))
+    assert(Search.phraseTermId("slow", "hash") != Search.phraseTermId("hash", "slow"))
+  }
+
+  test("bigramPostings: adjacent pairs at the first word's position; edge artifacts dropped") {
+    import spark.implicits._
+    val d = Seq((1L, ".slow hash batch!", "a")).toDF("doc_id", "text", "source")
+    // split gives ["", slow, hash, batch, ""]: pairs touching the empty
+    // edge artifacts are dropped (canPairAcross-punt analogue)
+    val p = Search.bigramPostings(d, "doc_id", "text")
+      .select("pos", "term_id").as[(Int, Long)].collect().sortBy(_._1).toSeq
+    assert(p == Seq(
+      (1, Search.phraseTermId("slow", "hash")),
+      (2, Search.phraseTermId("hash", "batch"))))
+  }
+
+  test("phrase query: positional bigram chain = full adjacency, clustering, rank") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "slow hash batch slow hash batch", "a"), // starts 0,3 → score 2
+      (2L, "slow hash x batch", "a"),               // all words, broken chain → miss
+      (3L, "slow hash batch", "b"),                 // score 1
+      (4L, "hash batch slow", "b"),                 // rotation → miss
+      (5L, "x slow hash batch x", "a"),             // score 1
+      (6L, "slow hash batch y slow hash batch y slow hash batch", "a") // score 3
+    ).toDF("doc_id", "text", "source")
+    val r = Search.searchPhraseTopK(d, "doc_id", "text", "source",
+        "slow hash batch", 10)
+      .as[(Long, Long, Int)].collect().toSeq
+    // site a: 6(3), 1(2), 5(1) → doc 5 clustered away; site b: 3(1)
+    assert(r == Seq((6L, 3L, 1), (1L, 2L, 2), (3L, 1L, 3)))
+  }
 }
