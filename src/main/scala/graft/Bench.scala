@@ -93,7 +93,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     once(n / 4) // warmup (JIT + codegen)
-    val secs = median((1 to reps).map(_ => once(n)))
+    val repSecs = (1 to reps).map(_ => once(n))
+    // per-rep walls on stderr: the variance diagnostic (VM CPU steal
+    // shows up as rep-to-rep spread; the median absorbs it only if the
+    // spread is visible enough to size reps/pairs honestly)
+    System.err.println(f"[bench] sched cpus=$cpus n=$n reps=${repSecs.map(s => f"$s%.2f").mkString(",")}s")
+    val secs = median(repSecs)
     spark.stop()
     // throughput counts frontier urls EVALUATED per sec (the scan+score+
     // window over all n), which is the real per-iteration work unit
