@@ -552,7 +552,20 @@ object SparkEntry {
     // score = full-phrase occurrence count
     "q5_search_phrase" -> ((s, d) =>
       graft.search.Search.searchPhraseTopK(read(s, d, "documents"),
-        "doc_id", "text", "source", "slow hash batch", 20))
+        "doc_id", "text", "source", "slow hash batch", 20)),
+    // string facet over the FULL result set (gbfacetstr:field —
+    // Posdb.cpp:7339 facet votes happen even for docs outside the
+    // winner tree; Msg40.cpp:6454 prints value+count)
+    "q6_search_facets" -> ((s, d) =>
+      graft.search.Search.searchFacetStr(read(s, d, "documents"),
+        "doc_id", "text", "lang", "spark hash merge")),
+    // int range facet histogram (gbfacetint:field,a-b,... — the
+    // Query.cpp:2662 CONDENSE THE FACETS logic: first containing
+    // range wins, empty ranges report zeroed buckets)
+    "q7_search_facet_ranges" -> ((s, d) =>
+      graft.search.Search.searchFacetInt(read(s, d, "documents"),
+        "doc_id", "text", "n_chars", "spark hash merge",
+        Seq((0L, 200L), (200L, 400L), (400L, 800L), (800L, 1600L), (1600L, 1000000L))))
   )
 
   /** Builds a DuckDB VALUES oracle from a committed golden tsv. `cols`:
@@ -636,6 +649,26 @@ object SparkEntry {
         "clustered AS (SELECT doc_id, score FROM (SELECT doc_id, score, row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS sr FROM scored) WHERE sr <= 2), " +
         "topk AS (SELECT doc_id, CAST(score AS BIGINT) AS score FROM clustered ORDER BY score DESC, doc_id ASC LIMIT 20) " +
         "SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank FROM topk"),
+    "q6_search_facets" ->
+      ("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w FROM documents), " +
+        "anddocs AS (SELECT doc_id FROM toks WHERE w IN ('spark','hash','merge') GROUP BY 1 HAVING count(DISTINCT w) = 3), " +
+        "f AS (SELECT lang AS facet_value, CAST(count(DISTINCT d.doc_id) AS BIGINT) AS n_docs " +
+        "FROM documents d JOIN anddocs a ON d.doc_id = a.doc_id GROUP BY 1) " +
+        "SELECT facet_value, n_docs, CAST(row_number() OVER (ORDER BY n_docs DESC, facet_value ASC) AS INTEGER) AS rank " +
+        "FROM f ORDER BY n_docs DESC, facet_value ASC"),
+    "q7_search_facet_ranges" ->
+      ("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w FROM documents), " +
+        "anddocs AS (SELECT doc_id FROM toks WHERE w IN ('spark','hash','merge') GROUP BY 1 HAVING count(DISTINCT w) = 3), " +
+        "ranges AS (SELECT * FROM (VALUES (0, 200), (200, 400), (400, 800), (800, 1600), (1600, 1000000)) AS r(lo, hi)), " +
+        "voted AS (SELECT r.lo AS range_lo, d.doc_id AS doc_id, d.n_chars AS fval " +
+        "FROM documents d JOIN anddocs a ON d.doc_id = a.doc_id " +
+        "JOIN ranges r ON d.n_chars >= r.lo AND d.n_chars < r.hi) " +
+        "SELECT CAST(r.lo AS BIGINT) AS range_lo, " +
+        "CAST(coalesce(count(DISTINCT v.doc_id), 0) AS BIGINT) AS n_docs, " +
+        "CAST(coalesce(sum(v.fval), 0) AS BIGINT) AS val_sum, " +
+        "CAST(coalesce(min(v.fval), 0) AS BIGINT) AS val_min, " +
+        "CAST(coalesce(max(v.fval), 0) AS BIGINT) AS val_max " +
+        "FROM ranges r LEFT JOIN voted v ON v.range_lo = r.lo GROUP BY 1 ORDER BY 1"),
     "dedup_embedding_lsh" -> valuesOracle("textops_embedding_lsh.tsv",
       Seq(("vec_a", "BIGINT", false), ("vec_b", "BIGINT", false))),
 

@@ -286,6 +286,90 @@ object Search {
     clusteredTopK(scored, sites, k, perSite)
   }
 
+  /** Doc ids matching the AND query — the intersection BEFORE any
+    * clustering or top-k truncation. Facet stats run over this set:
+    * Posdb.cpp:7339 "even if docid did not have a score high enough to
+    * be in the winner's list, still add its facet stats, it still is
+    * in the search results, just not in the top X." */
+  private def andMatchedDocs(docs: DataFrame, idCol: String, textCol: String,
+                             query: String): DataFrame = {
+    val terms = query.toLowerCase.split(TokenRe).filter(_.nonEmpty).distinct
+    require(terms.nonEmpty, "empty query")
+    val termIds = terms.map(termId)
+    postings(docs, idCol, textCol)
+      .filter(col("term_id").isInCollection(termIds))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("term_id")).as("nt"))
+      .filter(col("nt") === terms.length)
+      .select("doc_id")
+  }
+
+  /** String facet over the result set (`gbfacetstr:field`,
+    * Query.cpp:4425; aggregation Posdb.cpp:7339-7520 — one vote per
+    * docid per facet value, FacetEntry.m_count — merged and printed by
+    * Msg40.cpp:5445/6454). The facet column is a per-doc meta field
+    * (like the reference's humanLang / gbtagsite meta-tag facets), so
+    * the one-vote-per-docid dedup is a countDistinct(doc_id).
+    * Output: (facet_value, n_docs, rank), count-desc like the result
+    * page's facet box.
+    *
+    * Scale shape: the matched-doc set is the query-pruned postings
+    * aggregate (O(Σ posting-list length)); the facet aggregate is one
+    * hash-aggregate over matched docs with map-side combine — no
+    * window, no sort beyond the final tiny value list. */
+  def searchFacetStr(docs: DataFrame, idCol: String, textCol: String,
+                     facetCol: String, query: String): DataFrame =
+    docs.select(col(idCol).as("fdoc"), col(facetCol).as("facet_value"))
+      .join(andMatchedDocs(docs, idCol, textCol, query),
+        col("fdoc") === col("doc_id"), "left_semi")
+      .groupBy(col("facet_value"))
+      .agg(countDistinct(col("fdoc")).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("facet_value").asc)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_docs").desc, col("facet_value").asc)))
+
+  /** Int range facet — the reference's histogram logic
+    * (`gbfacetint:field,0-10,10-50`, Query.cpp:2662 "CONDENSE THE
+    * FACETS", Posdb.cpp:7425-7445): a doc's value maps to the FIRST
+    * range [lo, hi) containing it; every requested range gets a bucket
+    * up front (Posdb.cpp:5576-5618 pre-inits one FacetEntry per range,
+    * memset 0 — empty buckets report count 0 with zeroed stats), and
+    * each bucket carries count + sum/min/max of the voted values
+    * (FacetEntry.m_sum/m_min/m_max, Posdb.cpp:7493-7520). Values
+    * outside every range are dropped (fe stays NULL → continue).
+    * Output: (range_lo, n_docs, val_sum, val_min, val_max) ordered by
+    * range_lo. */
+  def searchFacetInt(docs: DataFrame, idCol: String, textCol: String,
+                     facetCol: String, query: String,
+                     ranges: Seq[(Long, Long)]): DataFrame = {
+    require(ranges.nonEmpty, "int facet needs ranges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // first-match range assignment, in the caller's range order
+    val bucket = ranges.foldLeft(lit(null).cast("long")) { case (acc, (a, b)) =>
+      coalesce(acc, when(col("fval") >= a && col("fval") < b, lit(a)))
+    }
+    val voted = docs
+      .select(col(idCol).as("fdoc"), col(facetCol).cast("long").as("fval"))
+      .join(andMatchedDocs(docs, idCol, textCol, query),
+        col("fdoc") === col("doc_id"), "left_semi")
+      .withColumn("range_lo", bucket)
+      .filter(col("range_lo").isNotNull)
+      .groupBy(col("range_lo"))
+      .agg(countDistinct(col("fdoc")).as("n_docs"),
+        sum(col("fval")).as("val_sum"),
+        min(col("fval")).as("val_min"),
+        max(col("fval")).as("val_max"))
+    ranges.map(_._1).toDF("range_lo")
+      .join(voted, Seq("range_lo"), "left_outer")
+      .select(col("range_lo"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("val_sum"), lit(0L)).as("val_sum"),
+        coalesce(col("val_min"), lit(0L)).as("val_min"),
+        coalesce(col("val_max"), lit(0L)).as("val_max"))
+      .orderBy(col("range_lo").asc)
+  }
+
   /** Same query over the crawl's own titledb (uh48, url, extracted
     * text): site = SiteGetter site hash, the real Msg40 clustering key
     * (the codegen'd SiteKeyHash32Expr — hash32 of the SiteGetter site). */

@@ -162,4 +162,38 @@ class SearchSpec extends AnyFunSuite {
     // site a: 6(3), 1(2), 5(1) → doc 5 clustered away; site b: 3(1)
     assert(r == Seq((6L, 3L, 1), (1L, 2L, 2), (3L, 1L, 3)))
   }
+
+  test("string facet: counts over the FULL intersection, not the clustered top-k") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "fast spark", "en"),
+      (2L, "fast spark spark", "en"),
+      (3L, "fast spark", "en"),   // 3rd en doc — would be clustered away in topk
+      (4L, "fast spark", "de"),
+      (5L, "spark only", "de"),   // fails AND
+      (6L, "fast only", "fr")     // fails AND
+    ).toDF("doc_id", "text", "lang")
+    val r = Search.searchFacetStr(d, "doc_id", "text", "lang", "fast spark")
+      .as[(String, Long, Int)].collect().toSeq
+    // en counts ALL THREE matching docs (facet votes ignore clustering)
+    assert(r == Seq(("en", 3L, 1), ("de", 1L, 2)))
+  }
+
+  test("int range facet: first-match histogram buckets, empty ranges zero-filled") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "fast spark", 5L),
+      (2L, "fast spark", 15L),
+      (3L, "fast spark", 17L),
+      (4L, "fast spark", 9999L), // outside every range → dropped
+      (5L, "spark only", 5L)     // fails AND → no vote
+    ).toDF("doc_id", "text", "n")
+    val r = Search.searchFacetInt(d, "doc_id", "text", "n", "fast spark",
+        Seq((0L, 10L), (10L, 20L), (20L, 30L)))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (0L, 1L, 5L, 5L, 5L),
+      (10L, 2L, 32L, 15L, 17L),
+      (20L, 0L, 0L, 0L, 0L)))
+  }
 }
