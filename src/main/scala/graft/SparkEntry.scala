@@ -565,7 +565,13 @@ object SparkEntry {
     "q7_search_facet_ranges" -> ((s, d) =>
       graft.search.Search.searchFacetInt(read(s, d, "documents"),
         "doc_id", "text", "n_chars", "spark hash merge",
-        Seq((0L, 200L), (200L, 400L), (400L, 800L), (800L, 1600L), (1600L, 1000000L))))
+        Seq((0L, 200L), (200L, 400L), (400L, 800L), (800L, 1600L), (1600L, 1000000L)))),
+    // per-result best-window summaries (Summary.cpp:656 getBestWindow
+    // scoring skeleton: 100/word, 100000/match with the /15 in-window
+    // repeat damping; windows anchored at matches; earliest wins ties)
+    "q8_search_summary" -> ((s, d) =>
+      graft.search.Search.searchSummaries(read(s, d, "documents"),
+        "doc_id", "text", "source", "spark hash merge", 10))
   )
 
   /** Builds a DuckDB VALUES oracle from a committed golden tsv. `cols`:
@@ -669,6 +675,29 @@ object SparkEntry {
         "CAST(coalesce(min(v.fval), 0) AS BIGINT) AS val_min, " +
         "CAST(coalesce(max(v.fval), 0) AS BIGINT) AS val_max " +
         "FROM ranges r LEFT JOIN voted v ON v.range_lo = r.lo GROUP BY 1 ORDER BY 1"),
+    "q8_search_summary" ->
+      ("WITH toks AS (SELECT doc_id, source, unnest(arr) AS w, generate_subscripts(arr, 1) - 1 AS pos " +
+        "FROM (SELECT doc_id, source, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS arr FROM documents)), " +
+        // keep the ORIGINAL array positions (empty split artifacts
+        // occupy slots, matching Search.postings)
+        "toks2 AS (SELECT doc_id, source, w, pos FROM toks WHERE w <> ''), " +
+        // q2's clustered top-k (k=10) for the result set
+        "tf AS (SELECT doc_id, source, w, count(*) AS tf FROM toks2 WHERE w IN ('spark','hash','merge') GROUP BY 1,2,3), " +
+        "sc AS (SELECT doc_id, source, sum(tf) AS score FROM tf GROUP BY 1,2 HAVING count(DISTINCT w) = 3), " +
+        "cl AS (SELECT doc_id, score FROM (SELECT doc_id, score, row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS sr FROM sc) WHERE sr <= 2), " +
+        "topk AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank " +
+        "FROM (SELECT doc_id, score FROM cl ORDER BY score DESC, doc_id ASC LIMIT 10)), " +
+        // windows anchored at each match, 20 tokens wide
+        "m AS (SELECT t.doc_id, t.pos AS a FROM toks2 t JOIN topk k ON t.doc_id = k.doc_id WHERE t.w IN ('spark','hash','merge')), " +
+        "win AS (SELECT m.doc_id, m.a, t.pos, t.w FROM m JOIN toks2 t ON t.doc_id = m.doc_id AND t.pos >= m.a AND t.pos < m.a + 20), " +
+        "ts AS (SELECT doc_id, a, sum(100000 + (cnt - 1) * 6666) AS match_score, sum(cnt) AS n_match " +
+        "FROM (SELECT doc_id, a, w, count(*) AS cnt FROM win WHERE w IN ('spark','hash','merge') GROUP BY 1,2,3) GROUP BY 1,2), " +
+        "ws AS (SELECT win.doc_id, win.a, ts.match_score + 100 * (count(*) - ts.n_match) AS w_score " +
+        "FROM win JOIN ts ON win.doc_id = ts.doc_id AND win.a = ts.a GROUP BY 1,2,ts.match_score,ts.n_match), " +
+        "best AS (SELECT doc_id, a FROM (SELECT doc_id, a, row_number() OVER (PARTITION BY doc_id ORDER BY w_score DESC, a ASC) AS wr FROM ws) WHERE wr = 1), " +
+        "snip AS (SELECT b.doc_id, string_agg(t.w, ' ' ORDER BY t.pos) AS summary " +
+        "FROM best b JOIN toks2 t ON t.doc_id = b.doc_id AND t.pos >= b.a AND t.pos < b.a + 20 GROUP BY 1) " +
+        "SELECT k.doc_id, k.rank, s.summary FROM topk k JOIN snip s ON k.doc_id = s.doc_id ORDER BY k.rank"),
     "dedup_embedding_lsh" -> valuesOracle("textops_embedding_lsh.tsv",
       Seq(("vec_a", "BIGINT", false), ("vec_b", "BIGINT", false))),
 

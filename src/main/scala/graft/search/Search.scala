@@ -370,6 +370,94 @@ object Search {
       .orderBy(col("range_lo").asc)
   }
 
+  /** Result summaries — the Msg20/Summary.cpp step that runs per
+    * RESULT (Msg40.cpp:1822 gotSummary fetches one per top-k doc,
+    * never per corpus doc): pick the best excerpt window around the
+    * query-term matches and return its text.
+    *
+    * The reference's getBestWindow (Summary.cpp:656) anchors a window
+    * at each match, extends to maxExcerptLen chars, and scores it
+    * (Summary.cpp:850-990): every word is worth 100, a query-term
+    * match 100,000 (× a tf-based word weight), a term repeated within
+    * the window divides by 15, one already covered by a previous
+    * excerpt by 12; sentence-start/fragment bonuses and tag-crossing /
+    * URL penalties adjust the tail. The winning window per doc is the
+    * summary.
+    *
+    * Slice stand-ins, documented: windows are `windowTokens` TOKENS
+    * anchored AT each match (the left-extension/sentence-boundary walk
+    * needs the Bits/Sections machinery); word weights are 1.0 (the tf
+    * table lives in Msg20 state); one excerpt per doc (numExcerpts=1,
+    * so the `retired` /12 never fires); no sentence-start bonus or
+    * tag/URL penalties (no HTML positions in the documents table); the
+    * snippet is the window's lowercase alnum tokens joined by spaces
+    * (the slice tokenizer, so the DuckDB oracle can recompute it
+    * byte-for-byte). Kept from the reference: the 100-per-word +
+    * 100000-per-match scoring with the integer /15 in-window repeat
+    * damping, and the earliest-window tie-break (the match loop takes
+    * a new winner only on score > maxScore, Summary.cpp:404).
+    *
+    * Scale shape: summaries join tokens ONLY for the k result docs
+    * (left-semi on the top-k), so the match-window expansion is
+    * O(k × doc tokens) — per-result work exactly like the reference's
+    * per-result Msg20 fetch, never a corpus scan; the final per-doc
+    * argmax window runs over k docs. Output: (doc_id, rank, summary). */
+  def searchSummaries(docs: DataFrame, idCol: String, textCol: String,
+                      siteCol: String, query: String, k: Int,
+                      perSite: Int = 2, windowTokens: Int = 20): DataFrame = {
+    val terms = query.toLowerCase.split(TokenRe).filter(_.nonEmpty).distinct
+    require(terms.nonEmpty, "empty query")
+    val topk = searchTopK(docs, idCol, textCol, siteCol, query, k, perSite)
+      .select(col("doc_id").as("top_doc"), col("rank"))
+
+    val toks = docs
+      .join(topk, col(idCol) === col("top_doc"), "left_semi")
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(lower(col(textCol)), TokenRe)).as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+
+    val matches = toks.filter(col("word").isInCollection(terms.toSeq))
+      .select(col("doc_id").as("m_doc"), col("pos").as("a"))
+
+    // window [a, a+W): per (doc, a, term) occurrence counts → term
+    // score 100000 + (cnt-1) * (100000/15); + 100 per window token
+    val win = matches.join(toks,
+      col("doc_id") === col("m_doc") &&
+        col("pos") >= col("a") && col("pos") < col("a") + windowTokens)
+    val termScores = win.filter(col("word").isInCollection(terms.toSeq))
+      .groupBy(col("m_doc"), col("a"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("m_doc"), col("a"))
+      .agg(sum(lit(100000L) + (col("cnt") - 1) * lit(100000L / 15)).as("match_score"),
+        sum(col("cnt")).as("n_match"))
+    // a matched word's 100000 REPLACES its per-word 100 ("undo old
+    // score", Summary.cpp:937) — only non-match tokens earn the 100
+    val scored = win.groupBy(col("m_doc"), col("a"))
+      .agg(count(lit(1)).as("n_toks"))
+      .join(termScores, Seq("m_doc", "a"))
+      .select(col("m_doc"), col("a"),
+        (col("match_score") + lit(100L) * (col("n_toks") - col("n_match"))).as("w_score"))
+
+    // winner window per doc: score desc, earliest a on ties — a
+    // k-doc-bounded window, the per-result Msg20 analogue
+    val wDoc = Window.partitionBy(col("m_doc"))
+      .orderBy(col("w_score").desc, col("a").asc)
+    val best = scored.withColumn("wr", row_number().over(wDoc))
+      .filter(col("wr") === 1).select(col("m_doc"), col("a"))
+
+    val snippet = best.join(toks,
+        col("doc_id") === col("m_doc") &&
+          col("pos") >= col("a") && col("pos") < col("a") + windowTokens)
+      .groupBy(col("m_doc"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("word")))),
+        s => s.getField("word")), " ").as("summary"))
+
+    topk.join(snippet, col("top_doc") === col("m_doc"))
+      .select(col("top_doc").as("doc_id"), col("rank"), col("summary"))
+      .orderBy(col("rank").asc)
+  }
+
   /** Same query over the crawl's own titledb (uh48, url, extracted
     * text): site = SiteGetter site hash, the real Msg40 clustering key
     * (the codegen'd SiteKeyHash32Expr — hash32 of the SiteGetter site). */

@@ -196,4 +196,26 @@ class SearchSpec extends AnyFunSuite {
       (10L, 2L, 32L, 15L, 17L),
       (20L, 0L, 0L, 0L, 0L)))
   }
+
+  test("summaries: best window around matches, /15 repeat damping, earliest tie-break") {
+    import spark.implicits._
+    val filler = (1 to 30).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      // matches at pos 0 (1 term then filler) and pos 31.. where BOTH
+      // terms sit in one window — the two-term window must win
+      (1L, s"fast $filler fast spark tail words", "a"),
+      // single window, doc included for rank-2
+      (2L, s"fast spark $filler", "b")
+    ).toDF("doc_id", "text", "source")
+    val r = Search.searchSummaries(d, "doc_id", "text", "source",
+        "fast spark", 10, windowTokens = 5)
+      .as[(Long, Int, String)].collect().toSeq
+    // doc1 windows: a=0 → [fast w1 w2 w3 w4] = 100000+4*100;
+    // a=31 → [fast spark tail words] (doc ends) = 200000+2*100;
+    // a=32 → [spark tail words] = 100000+200. winner a=31.
+    // doc2: a=0 → [fast spark w1 w2 w3] = 200000+300; a=1 loses.
+    assert(r == Seq(
+      (1L, 1, "fast spark tail words"),
+      (2L, 2, "fast spark w1 w2 w3")))
+  }
 }
