@@ -571,7 +571,13 @@ object SparkEntry {
     // repeat damping; windows anchored at matches; earliest wins ties)
     "q8_search_summary" -> ((s, d) =>
       graft.search.Search.searchSummaries(read(s, d, "documents"),
-        "doc_id", "text", "source", "spark hash merge", 10))
+        "doc_id", "text", "source", "spark hash merge", 10)),
+    // summaries with term highlighting (Highlight.cpp s_frontTags
+    // color spans, colorNum = query-term index % 10)
+    "q9_search_highlight" -> ((s, d) =>
+      graft.search.Search.searchSummaries(read(s, d, "documents"),
+        "doc_id", "text", "source", "spark hash merge", 10,
+        highlight = true))
   )
 
   /** Builds a DuckDB VALUES oracle from a committed golden tsv. `cols`:
@@ -586,6 +592,39 @@ object SparkEntry {
     val sel = cols.map { case (n, t, _) => s"CAST($n AS $t) AS $n" }.mkString(", ")
     val names = cols.map(_._1).mkString(", ")
     s"SELECT $sel FROM (VALUES ${rows.mkString(",")}) AS t($names)"
+  }
+
+  /** q8/q9 oracle: q2's clustered top-10, then the best 20-token window
+    * per result (Summary.cpp scoring skeleton — 100/word, 100000/match,
+    * integer /15 repeat damping, earliest window on ties), snippet =
+    * window tokens; q9 wraps matches in the Highlight.cpp color spans
+    * (term index % 10). Positions are the ORIGINAL split-array slots
+    * (empty artifacts occupy positions, matching Search.postings). */
+  private def summaryOracle(highlight: Boolean): String = {
+    val wordExpr =
+      if (!highlight) "t.w"
+      else "CASE t.w " +
+        Seq("spark", "hash", "merge").zipWithIndex.map { case (t, i) =>
+          f"WHEN '$t' THEN '<span class=\"gbcnst gbcnst${i % 10}%02d\">' || t.w || '</span>'"
+        }.mkString(" ") + " ELSE t.w END"
+    "WITH toks AS (SELECT doc_id, source, unnest(arr) AS w, generate_subscripts(arr, 1) - 1 AS pos " +
+      "FROM (SELECT doc_id, source, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS arr FROM documents)), " +
+      "toks2 AS (SELECT doc_id, source, w, pos FROM toks WHERE w <> ''), " +
+      "tf AS (SELECT doc_id, source, w, count(*) AS tf FROM toks2 WHERE w IN ('spark','hash','merge') GROUP BY 1,2,3), " +
+      "sc AS (SELECT doc_id, source, sum(tf) AS score FROM tf GROUP BY 1,2 HAVING count(DISTINCT w) = 3), " +
+      "cl AS (SELECT doc_id, score FROM (SELECT doc_id, score, row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS sr FROM sc) WHERE sr <= 2), " +
+      "topk AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank " +
+      "FROM (SELECT doc_id, score FROM cl ORDER BY score DESC, doc_id ASC LIMIT 10)), " +
+      "m AS (SELECT t.doc_id, t.pos AS a FROM toks2 t JOIN topk k ON t.doc_id = k.doc_id WHERE t.w IN ('spark','hash','merge')), " +
+      "win AS (SELECT m.doc_id, m.a, t.pos, t.w FROM m JOIN toks2 t ON t.doc_id = m.doc_id AND t.pos >= m.a AND t.pos < m.a + 20), " +
+      "ts AS (SELECT doc_id, a, sum(100000 + (cnt - 1) * 6666) AS match_score, sum(cnt) AS n_match " +
+      "FROM (SELECT doc_id, a, w, count(*) AS cnt FROM win WHERE w IN ('spark','hash','merge') GROUP BY 1,2,3) GROUP BY 1,2), " +
+      "ws AS (SELECT win.doc_id, win.a, ts.match_score + 100 * (count(*) - ts.n_match) AS w_score " +
+      "FROM win JOIN ts ON win.doc_id = ts.doc_id AND win.a = ts.a GROUP BY 1,2,ts.match_score,ts.n_match), " +
+      "best AS (SELECT doc_id, a FROM (SELECT doc_id, a, row_number() OVER (PARTITION BY doc_id ORDER BY w_score DESC, a ASC) AS wr FROM ws) WHERE wr = 1), " +
+      s"snip AS (SELECT b.doc_id, string_agg($wordExpr, ' ' ORDER BY t.pos) AS summary " +
+      "FROM best b JOIN toks2 t ON t.doc_id = b.doc_id AND t.pos >= b.a AND t.pos < b.a + 20 GROUP BY 1) " +
+      "SELECT k.doc_id, k.rank, s.summary FROM topk k JOIN snip s ON k.doc_id = s.doc_id ORDER BY k.rank"
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -675,29 +714,8 @@ object SparkEntry {
         "CAST(coalesce(min(v.fval), 0) AS BIGINT) AS val_min, " +
         "CAST(coalesce(max(v.fval), 0) AS BIGINT) AS val_max " +
         "FROM ranges r LEFT JOIN voted v ON v.range_lo = r.lo GROUP BY 1 ORDER BY 1"),
-    "q8_search_summary" ->
-      ("WITH toks AS (SELECT doc_id, source, unnest(arr) AS w, generate_subscripts(arr, 1) - 1 AS pos " +
-        "FROM (SELECT doc_id, source, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS arr FROM documents)), " +
-        // keep the ORIGINAL array positions (empty split artifacts
-        // occupy slots, matching Search.postings)
-        "toks2 AS (SELECT doc_id, source, w, pos FROM toks WHERE w <> ''), " +
-        // q2's clustered top-k (k=10) for the result set
-        "tf AS (SELECT doc_id, source, w, count(*) AS tf FROM toks2 WHERE w IN ('spark','hash','merge') GROUP BY 1,2,3), " +
-        "sc AS (SELECT doc_id, source, sum(tf) AS score FROM tf GROUP BY 1,2 HAVING count(DISTINCT w) = 3), " +
-        "cl AS (SELECT doc_id, score FROM (SELECT doc_id, score, row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS sr FROM sc) WHERE sr <= 2), " +
-        "topk AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank " +
-        "FROM (SELECT doc_id, score FROM cl ORDER BY score DESC, doc_id ASC LIMIT 10)), " +
-        // windows anchored at each match, 20 tokens wide
-        "m AS (SELECT t.doc_id, t.pos AS a FROM toks2 t JOIN topk k ON t.doc_id = k.doc_id WHERE t.w IN ('spark','hash','merge')), " +
-        "win AS (SELECT m.doc_id, m.a, t.pos, t.w FROM m JOIN toks2 t ON t.doc_id = m.doc_id AND t.pos >= m.a AND t.pos < m.a + 20), " +
-        "ts AS (SELECT doc_id, a, sum(100000 + (cnt - 1) * 6666) AS match_score, sum(cnt) AS n_match " +
-        "FROM (SELECT doc_id, a, w, count(*) AS cnt FROM win WHERE w IN ('spark','hash','merge') GROUP BY 1,2,3) GROUP BY 1,2), " +
-        "ws AS (SELECT win.doc_id, win.a, ts.match_score + 100 * (count(*) - ts.n_match) AS w_score " +
-        "FROM win JOIN ts ON win.doc_id = ts.doc_id AND win.a = ts.a GROUP BY 1,2,ts.match_score,ts.n_match), " +
-        "best AS (SELECT doc_id, a FROM (SELECT doc_id, a, row_number() OVER (PARTITION BY doc_id ORDER BY w_score DESC, a ASC) AS wr FROM ws) WHERE wr = 1), " +
-        "snip AS (SELECT b.doc_id, string_agg(t.w, ' ' ORDER BY t.pos) AS summary " +
-        "FROM best b JOIN toks2 t ON t.doc_id = b.doc_id AND t.pos >= b.a AND t.pos < b.a + 20 GROUP BY 1) " +
-        "SELECT k.doc_id, k.rank, s.summary FROM topk k JOIN snip s ON k.doc_id = s.doc_id ORDER BY k.rank"),
+    "q8_search_summary" -> summaryOracle(highlight = false),
+    "q9_search_highlight" -> summaryOracle(highlight = true),
     "dedup_embedding_lsh" -> valuesOracle("textops_embedding_lsh.tsv",
       Seq(("vec_a", "BIGINT", false), ("vec_b", "BIGINT", false))),
 

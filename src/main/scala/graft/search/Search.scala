@@ -404,7 +404,8 @@ object Search {
     * argmax window runs over k docs. Output: (doc_id, rank, summary). */
   def searchSummaries(docs: DataFrame, idCol: String, textCol: String,
                       siteCol: String, query: String, k: Int,
-                      perSite: Int = 2, windowTokens: Int = 20): DataFrame = {
+                      perSite: Int = 2, windowTokens: Int = 20,
+                      highlight: Boolean = false): DataFrame = {
     val terms = query.toLowerCase.split(TokenRe).filter(_.nonEmpty).distinct
     require(terms.nonEmpty, "empty query")
     val topk = searchTopK(docs, idCol, textCol, siteCol, query, k, perSite)
@@ -445,12 +446,24 @@ object Search {
     val best = scored.withColumn("wr", row_number().over(wDoc))
       .filter(col("wr") === 1).select(col("m_doc"), col("a"))
 
+    // Highlight.cpp:280-306 wraps every match in the per-query-term
+    // color span s_frontTags[colorNum % 10] ... "</span>"
+    // (Highlight.cpp:24-33, :211); colorNum is the term's index in the
+    // query. The slice highlights within the summary snippet only
+    // (the reference also highlights cached pages; same loop).
+    val displayWord =
+      if (!highlight) col("word")
+      else terms.zipWithIndex.foldLeft(col("word")) { case (acc, (t, i)) =>
+        when(col("word") === t,
+          concat(lit(f"""<span class="gbcnst gbcnst${i % 10}%02d">"""),
+            col("word"), lit("</span>"))).otherwise(acc)
+      }
     val snippet = best.join(toks,
         col("doc_id") === col("m_doc") &&
           col("pos") >= col("a") && col("pos") < col("a") + windowTokens)
       .groupBy(col("m_doc"))
       .agg(array_join(transform(
-        array_sort(collect_list(struct(col("pos"), col("word")))),
+        array_sort(collect_list(struct(col("pos"), displayWord.as("word")))),
         s => s.getField("word")), " ").as("summary"))
 
     topk.join(snippet, col("top_doc") === col("m_doc"))

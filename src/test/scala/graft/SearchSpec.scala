@@ -218,4 +218,16 @@ class SearchSpec extends AnyFunSuite {
       (1L, 1, "fast spark tail words"),
       (2L, 2, "fast spark w1 w2 w3")))
   }
+
+  test("highlight wraps matches in the per-term color span (Highlight.cpp s_frontTags)") {
+    import spark.implicits._
+    val d = Seq((1L, "x fast spark y", "a")).toDF("doc_id", "text", "source")
+    val r = Search.searchSummaries(d, "doc_id", "text", "source",
+        "fast spark", 10, windowTokens = 4, highlight = true)
+      .as[(Long, Int, String)].collect().toSeq
+    // window at a=1 holds both terms; fast = term 0, spark = term 1
+    assert(r == Seq((1L, 1,
+      "<span class=\"gbcnst gbcnst00\">fast</span> " +
+        "<span class=\"gbcnst gbcnst01\">spark</span> y")))
+  }
 }
