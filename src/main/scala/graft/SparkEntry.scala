@@ -577,7 +577,20 @@ object SparkEntry {
     "q9_search_highlight" -> ((s, d) =>
       graft.search.Search.searchSummaries(read(s, d, "documents"),
         "doc_id", "text", "source", "spark hash merge", 10,
-        highlight = true))
+        highlight = true)),
+    // related-topic "gigabits" over the result set (Msg40.cpp:3484
+    // computeGigabits / :4320 hashExcerpt: QTR proximity zones,
+    // once-per-doc master merge, gbscore × numPages ranking with the
+    // single-page /4 penalty)
+    "q10_search_gigabits" -> ((s, d) =>
+      graft.search.Search.searchGigabits(read(s, d, "documents"),
+        "doc_id", "text", "source", "spark hash merge", 10)),
+    // negative query terms ('my house -home': Query.cpp:2494 sign
+    // parse; Posdb.cpp:5841 rmDocIdVotes removes the minus term's
+    // docids from the vote buffer)
+    "q11_search_minus" -> ((s, d) =>
+      graft.search.Search.searchMinusTopK(read(s, d, "documents"),
+        "doc_id", "text", "source", "spark hash -merge", 20))
   )
 
   /** Builds a DuckDB VALUES oracle from a committed golden tsv. `cols`:
@@ -716,6 +729,39 @@ object SparkEntry {
         "FROM ranges r LEFT JOIN voted v ON v.range_lo = r.lo GROUP BY 1 ORDER BY 1"),
     "q8_search_summary" -> summaryOracle(highlight = false),
     "q9_search_highlight" -> summaryOracle(highlight = true),
+    // q10: q2's clustered top-10 result set, then single-word gigabits
+    // (candidates ≥4 chars, non-query, non-stopword, no -ed/-ing; QTR
+    // zone bonuses off nearest query match; per-doc max × 4.0 pop
+    // boost; master merge once per doc; ×numPages, /4 if single-page)
+    "q10_search_gigabits" ->
+      ("WITH toks AS (SELECT doc_id, source, unnest(arr) AS w, generate_subscripts(arr, 1) - 1 AS pos " +
+        "FROM (SELECT doc_id, source, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS arr FROM documents)), " +
+        "toks2 AS (SELECT doc_id, source, w, pos FROM toks WHERE w <> ''), " +
+        "tf AS (SELECT doc_id, source, w, count(*) AS tf FROM toks2 WHERE w IN ('spark','hash','merge') GROUP BY 1,2,3), " +
+        "sc AS (SELECT doc_id, source, sum(tf) AS score FROM tf GROUP BY 1,2 HAVING count(DISTINCT w) = 3), " +
+        "cl AS (SELECT doc_id, score FROM (SELECT doc_id, score, row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS sr FROM sc) WHERE sr <= 2), " +
+        "topk AS (SELECT doc_id FROM (SELECT doc_id, score FROM cl ORDER BY score DESC, doc_id ASC LIMIT 10)), " +
+        "m AS (SELECT t.doc_id, t.w AS mterm, t.pos AS mpos FROM toks2 t JOIN topk k ON t.doc_id = k.doc_id WHERE t.w IN ('spark','hash','merge')), " +
+        "c AS (SELECT t.doc_id, t.pos, t.w FROM toks2 t JOIN topk k ON t.doc_id = k.doc_id " +
+        "WHERE length(t.w) >= 4 AND t.w NOT IN ('spark','hash','merge') " +
+        s"AND t.w NOT IN (${TextOps.stopwords.map(s => s"'$s'").mkString(",")}) " +
+        "AND t.w NOT LIKE '%ed' AND t.w NOT LIKE '%ing'), " +
+        "d AS (SELECT c.doc_id, c.pos, c.w, m.mterm, min(abs(c.pos - m.mpos)) AS d " +
+        "FROM c JOIN m ON c.doc_id = m.doc_id GROUP BY 1,2,3,4 HAVING min(abs(c.pos - m.mpos)) < 20), " +
+        "occ AS (SELECT doc_id, pos, w, sum(CASE WHEN d < 4 THEN 1000 WHEN d < 8 THEN 800 WHEN d < 12 THEN 500 ELSE 200 END) AS prox FROM d GROUP BY 1,2,3), " +
+        "pd AS (SELECT doc_id, w, max(prox) * 4.0 AS doc_score FROM occ GROUP BY 1,2), " +
+        "ma AS (SELECT w, sum(doc_score) AS gbscore, count(*) AS num_pages FROM pd GROUP BY 1) " +
+        "SELECT w AS term, CAST(gbscore * num_pages / (CASE WHEN num_pages <= 1 THEN 4.0 ELSE 1.0 END) AS DOUBLE) AS gb_score, num_pages " +
+        "FROM ma ORDER BY gb_score DESC, num_pages DESC, term ASC LIMIT 20"),
+    // q11: q2 scoring over the plus terms, minus-term docids vetoed
+    "q11_search_minus" ->
+      ("WITH toks AS (SELECT doc_id, source, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w FROM documents), " +
+        "tf AS (SELECT doc_id, source, w, count(*) AS tf FROM toks WHERE w IN ('spark','hash') GROUP BY 1,2,3), " +
+        "scored AS (SELECT doc_id, source, sum(tf) AS score FROM tf GROUP BY 1,2 HAVING count(DISTINCT w) = 2), " +
+        "kept AS (SELECT s.doc_id, s.source, s.score FROM scored s WHERE s.doc_id NOT IN (SELECT DISTINCT doc_id FROM toks WHERE w = 'merge')), " +
+        "clustered AS (SELECT doc_id, score FROM (SELECT doc_id, score, row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS sr FROM kept) WHERE sr <= 2), " +
+        "topk AS (SELECT doc_id, CAST(score AS BIGINT) AS score FROM clustered ORDER BY score DESC, doc_id ASC LIMIT 20) " +
+        "SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank FROM topk"),
     "dedup_embedding_lsh" -> valuesOracle("textops_embedding_lsh.tsv",
       Seq(("vec_a", "BIGINT", false), ("vec_b", "BIGINT", false))),
 

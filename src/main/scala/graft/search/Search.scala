@@ -471,6 +471,136 @@ object Search {
       .orderBy(col("rank").asc)
   }
 
+  /** AND-query with NEGATIVE terms — the reference's '-term' sign:
+    * Query.cpp:2494-2496 reads the sign off the preceding punct token
+    * (a '-' straight after whitespace), Query.cpp:933 carries it to
+    * QueryTerm::m_termSign, and the Posdb intersection removes every
+    * docid that appears in a negative term's list from the docid vote
+    * buffer (Posdb.cpp:5841-5852 rmDocIdVotes; BF_NEGATIVE set at
+    * :1819). Scoring/clustering/top-k are q2's — negative terms never
+    * contribute score, they only veto.
+    *
+    * Scale shape: the veto is a LEFT ANTI join of the scored AND-docs
+    * against the minus-term-pruned postings — both sides are
+    * query-term slices (O(posting-list length)), never the corpus;
+    * the anti-join is the set-subtract analogue of rmDocIdVotes. */
+  def searchMinusTopK(docs: DataFrame, idCol: String, textCol: String,
+                      siteCol: String, query: String, k: Int,
+                      perSite: Int = 2): DataFrame = {
+    val raw = query.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val minus = raw.filter(_.startsWith("-")).map(_.drop(1))
+      .flatMap(_.split(TokenRe)).filter(_.nonEmpty).distinct
+    val plus = raw.filterNot(_.startsWith("-"))
+      .flatMap(_.split(TokenRe)).filter(_.nonEmpty).distinct
+    require(plus.nonEmpty, "need at least one positive term")
+    val sites = docs.select(col(idCol).as("site_doc_id"), col(siteCol).as("site"))
+
+    val posts = postings(docs, idCol, textCol)
+    val tf = posts.filter(col("term_id").isInCollection(plus.map(termId)))
+      .groupBy(col("doc_id"), col("term_id"))
+      .agg(count(lit(1)).as("tf"))
+    val scored = tf.groupBy("doc_id")
+      .agg(sum(col("tf")).as("score"), count(lit(1)).as("n_terms"))
+      .filter(col("n_terms") === plus.length)
+      .drop("n_terms")
+
+    val vetoed =
+      if (minus.isEmpty) scored
+      else scored.join(
+        posts.filter(col("term_id").isInCollection(minus.map(termId)))
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+
+    clusteredTopK(vetoed, sites, k, perSite)
+  }
+
+  /** Related-topic ("gigabit") extraction over the result set —
+    * Msg40.cpp:3484 computeGigabits / :4320 hashExcerpt, distilled to
+    * single-word topics:
+    *  - candidate words: not a query term, ≥ 4 chars (hashExcerpt's
+    *    wlen<3 skip plus the wlen<=3 "second-class citizen" rule that
+    *    zeroes 3-char prox scores, so only ≥4 ever survives
+    *    proxScore>0), not a common word (isCommonWord → the engine's
+    *    stopword list), not ending in "ed" (own-gigabit ban,
+    *    Msg40.cpp:4920) or "ing" (lowercase -ing ban, Msg40.cpp:4905;
+    *    the slice lowercases all tokens so the rule applies to all)
+    *  - occurrence proximity score (QTR zones, Msg40.cpp:50-57):
+    *    Σ over query terms matching in the doc of
+    *    bonus(min |pos − matchpos|): <4→1000, <8→800, <12→500,
+    *    <20→200, ≥20→0; popWeight = 1 (no speller popularity table
+    *    in this engine). Distances are token positions (the
+    *    reference's Words slots interleave punct tokens).
+    *  - per-doc score = max occurrence score × POP_BOOST_0 = 4.0
+    *    (minPop = 1 < POP_ZONE_0 = 10 at uniform popularity,
+    *    Msg40.cpp:5195; the reference's per-key local add OVERWRITES
+    *    (HashTableX::addKey semantics) so the last occurrence wins —
+    *    the slice takes the occurrence max, order-independent and
+    *    identical whenever the best window occurs last)
+    *  - master merge across docs counts each doc once
+    *    (hashGigabitSample, Msg40.cpp:4236-4243: m_numPages++,
+    *    m_gbscore +=, m_lastDocId guard)
+    *  - final rank = gbscore × numPages (× numWords = 1 for single
+    *    words), ÷4 when on a single page; ties numPages desc then
+    *    term asc (gigabitCmp, Msg40.cpp:3452-3472).
+    *
+    * Scale shape: every stage after searchTopK touches tokens of the
+    * k result docs only (left-semi on the top-k) — the candidate ×
+    * match join is O(k × docTokens × queryMatches), the same
+    * per-result bound as the reference's per-Msg20 sample hashing;
+    * nothing rescans the corpus. Output: (term, gb_score, num_pages),
+    * top `topics` rows. */
+  def searchGigabits(docs: DataFrame, idCol: String, textCol: String,
+                     siteCol: String, query: String, k: Int,
+                     perSite: Int = 2, topics: Int = 20): DataFrame = {
+    val terms = query.toLowerCase.split(TokenRe).filter(_.nonEmpty).distinct
+    require(terms.nonEmpty, "empty query")
+    val topk = searchTopK(docs, idCol, textCol, siteCol, query, k, perSite)
+      .select(col("doc_id").as("top_doc"))
+
+    val toks = docs
+      .join(topk, col(idCol) === col("top_doc"), "left_semi")
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(lower(col(textCol)), TokenRe)).as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+
+    val matches = toks.filter(col("word").isInCollection(terms.toSeq))
+      .select(col("doc_id").as("m_doc"), col("word").as("m_term"),
+        col("pos").as("m_pos"))
+
+    val cands = toks
+      .filter(length(col("word")) >= 4)
+      .filter(!col("word").isInCollection(terms.toSeq))
+      .filter(!col("word").isInCollection(graft.textops.TextOps.stopwords))
+      .filter(!col("word").endsWith("ed") && !col("word").endsWith("ing"))
+
+    // nearest-match distance per (occurrence, query term) — the
+    // hashExcerpt posPtr walk computes exactly min |i − matchpos|
+    val nearest = cands.join(matches, col("doc_id") === col("m_doc"))
+      .groupBy(col("doc_id"), col("pos"), col("word"), col("m_term"))
+      .agg(min(abs(col("pos") - col("m_pos"))).as("d"))
+      .filter(col("d") < 20)
+
+    val occ = nearest
+      .select(col("doc_id"), col("pos"), col("word"),
+        when(col("d") < 4, 1000L).when(col("d") < 8, 800L)
+          .when(col("d") < 12, 500L).otherwise(200L).as("bonus"))
+      .groupBy(col("doc_id"), col("pos"), col("word"))
+      .agg(sum(col("bonus")).as("prox"))
+
+    val perDoc = occ.groupBy(col("doc_id"), col("word"))
+      .agg((max(col("prox")) * lit(4.0)).as("doc_score"))
+
+    val master = perDoc.groupBy(col("word"))
+      .agg(sum(col("doc_score")).as("gbscore"), count(lit(1)).as("num_pages"))
+
+    master.select(col("word").as("term"),
+        (col("gbscore") * col("num_pages") /
+          when(col("num_pages") <= 1, lit(4.0)).otherwise(lit(1.0))).as("gb_score"),
+        col("num_pages"))
+      .orderBy(col("gb_score").desc, col("num_pages").desc, col("term").asc)
+      .limit(topics)
+  }
+
   /** Same query over the crawl's own titledb (uh48, url, extracted
     * text): site = SiteGetter site hash, the real Msg40 clustering key
     * (the codegen'd SiteKeyHash32Expr — hash32 of the SiteGetter site). */

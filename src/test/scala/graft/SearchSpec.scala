@@ -219,6 +219,44 @@ class SearchSpec extends AnyFunSuite {
       (2L, 2, "fast spark w1 w2 w3")))
   }
 
+  test("gigabits: QTR zone bonuses, once-per-doc merge, single-page /4 penalty (Msg40.cpp computeGigabits)") {
+    import spark.implicits._
+    // doc 1 tokens: fast(0) spark(1) table(2) words(3) here(4)
+    //   table: d(fast)=2,d(spark)=1 → 1000+1000=2000; ×4 = 8000
+    //   words: d=3,2 → 2000 → 8000;  here: d=4→800, d=3→1000 → 7200
+    // doc 2: fast(0) spark(1) table(2) → table 2000 → 8000
+    // master: table (16000, 2 pages) → 32000; words (8000, 1) → /4 =
+    // 2000; here (7200, 1) → 1800
+    val d = Seq(
+      (1L, "fast spark table words here", "a"),
+      (2L, "fast spark table", "b")).toDF("doc_id", "text", "source")
+    val r = Search.searchGigabits(d, "doc_id", "text", "source", "fast spark", 10)
+      .as[(String, Double, Long)].collect().toSeq
+    assert(r == Seq(("table", 32000.0, 2L), ("words", 2000.0, 1L), ("here", 1800.0, 1L)))
+  }
+
+  test("gigabit candidates skip query terms, stopwords, short and -ed/-ing words (hashExcerpt)") {
+    import spark.implicits._
+    // "that" is a stopword, "run" is <4 chars, "parsed"/-ed and
+    // "parsing"/-ing are banned, "alpha" survives
+    val d = Seq((1L, "fast spark that run parsed parsing alpha", "a"))
+      .toDF("doc_id", "text", "source")
+    val r = Search.searchGigabits(d, "doc_id", "text", "source", "fast spark", 10)
+      .as[(String, Double, Long)].collect().toSeq
+    assert(r.map(_._1) == Seq("alpha"))
+  }
+
+  test("minus terms veto docids without contributing score (Posdb.cpp rmDocIdVotes)") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "spark hash alpha", "a"),
+      (2L, "spark hash merge", "a"),
+      (3L, "spark beta", "b")).toDF("doc_id", "text", "source")
+    val r = Search.searchMinusTopK(d, "doc_id", "text", "source", "spark hash -merge", 10)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(r == Seq((1L, 2L, 1)))
+  }
+
   test("highlight wraps matches in the per-term color span (Highlight.cpp s_frontTags)") {
     import spark.implicits._
     val d = Seq((1L, "x fast spark y", "a")).toDF("doc_id", "text", "source")
