@@ -205,11 +205,15 @@ object Corpus {
       sb.append(s"""<a href="http://${host(0)}/">hub</a> """)
       // a media link to exercise the ismedia delete rule
       sb.append(s"""<a href="/logo$k.jpg">logo</a> """)
-      // X17/CT fixture: hosts k≡2 (mod 8) serve a real PDF url (pdf is
-      // NEITHER ismedia NOR a bad extension, so it schedules and
-      // downloads; the fetch classifies the MIME content type and
-      // rejects it with EDOCBADCONTENTTYPE — no converter binaries)
-      if (k % 8 == 2) sb.append(s"""<a href="/doc.pdf">report</a> """)
+      // X17/CT fixture: hosts k≡2 (mod 8) serve two PDF urls (pdf is
+      // NEITHER ismedia NOR a bad extension, so both schedule and
+      // download; the fetch classifies the MIME content type):
+      // /doc.pdf carries a text stream → GbPdf converts (the
+      // reference's pdftohtml pipe) and it INDEXES; /scan.pdf is
+      // image-only (DCTDecode) → converter yields no text →
+      // EDOCBADCONTENTTYPE, the reference's empty-filter-output fate
+      if (k % 8 == 2) sb.append(
+        s"""<a href="/doc.pdf">report</a> <a href="/scan.pdf">scan</a> """)
       // a nofollow link that must NOT be harvested
       sb.append(s"""<a rel="nofollow" href="http://${host((k + 7) % spec.nHosts)}/private/">nf</a> """)
     } else if (p <= spec.sectionsPerHost) {
@@ -286,10 +290,26 @@ object Corpus {
         // slot numbering (and ref_text golden keys) never move
         if (p == 0 && k % 8 == 2) {
           val pu = s"http://${host(k)}/doc.pdf"
-          val pdf = s"%PDF-1.4\n1 0 obj << /Type /Catalog >> endobj\nhost $k report\n%%EOF\n"
+          // a valid text-bearing PDF: one uncompressed content stream,
+          // BT/ET text ops → GbPdf converts it and the doc indexes
+          val pdf = ("%PDF-1.4\n" +
+            "1 0 obj << /Length 96 >> stream\n" +
+            s"BT /F1 12 Tf 72 720 Td (host $k report) Tj T* " +
+            s"(pdf fixture body for host $k) Tj ET\n" +
+            "endstream endobj\n%%EOF\n")
             .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-          Seq(row, PageRow(pu, warcTs(pu), pdf, GbXml.extractText(pdf), "en",
-            content_type = "application/pdf"))
+          val su = s"http://${host(k)}/scan.pdf"
+          // image-only PDF: DCTDecode stream, no text ops → converter
+          // returns null → EDOCBADCONTENTTYPE (empty filter output)
+          val scan = ("%PDF-1.4\n" +
+            "1 0 obj << /Filter /DCTDecode /Length 4 >> stream\n" +
+            "\u00ff\u00d8\u00ff\u00d9\nendstream endobj\n%%EOF\n")
+            .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          Seq(row,
+            PageRow(pu, warcTs(pu), pdf, GbXml.extractText(pdf), "en",
+              content_type = "application/pdf"),
+            PageRow(su, warcTs(su), scan, GbXml.extractText(scan), "en",
+              content_type = "application/pdf"))
         } else Seq(row)
       }
     }

@@ -814,6 +814,16 @@ object Crawl {
         val spacing = math.max(cd.toLong, ipWait.toLong)
         val downloadEnd = nowMillis + (task.seq_in_ip + 1).toLong * spacing
 
+        // CT_PDF → HTML conversion (the reference's pdftohtml pipe;
+        // GbPdf scaladoc). Lazy: only PDF rows pay, computed once for
+        // both the CT gate and the extraction chain.
+        lazy val pdfHtml =
+          if (html != null && graft.core.GbHttpMime.contentTypeFromStr(
+              if (pct == null || pct.isEmpty) "text/html" else pct) ==
+              graft.core.GbHttpMime.CtPdf)
+            graft.core.GbPdf.toHtml(html)
+          else null
+
         // the add-url DNS hop (XmlDoc.cpp:2812-2828): a fake-firstIp
         // ADD-URL request is never downloaded — indexDoc short-circuits
         // with EFAKEFIRSTIP, answers the fake request with a reply under
@@ -876,12 +886,16 @@ object Crawl {
             "", 0, downloadEnd, Nil, "")
         } else if (!graft.core.GbHttpMime.isIndexable(
             graft.core.GbHttpMime.contentTypeFromStr(
-              if (pct == null || pct.isEmpty) "text/html" else pct))) {
+              if (pct == null || pct.isEmpty) "text/html" else pct)) &&
+            pdfHtml == null) {
           // X17 CT classification of the DOWNLOADED mime: non-text
-          // types (incl. PDF — no converter binaries in this sandbox,
-          // the reference's no-gbfilter branch, XmlDoc.cpp:19010-19014)
-          // index as EDOCBADCONTENTTYPE; absent header pre-seeds
-          // CT_HTML like HttpMime::parse
+          // types index as EDOCBADCONTENTTYPE — except CT_PDF, which
+          // the reference pipes through pdftohtml (XmlDoc.cpp:18989
+          // "filterable", :19192 the pdftohtml command) and indexes;
+          // GbPdf is the native converter (no binaries in sandbox).
+          // A PDF the converter gets no text from lands here, like the
+          // reference freeing empty filter output (XmlDoc.cpp:19073).
+          // Absent CT header pre-seeds CT_HTML like HttpMime::parse.
           FetchResult(task, found = false, allowed = true, cd, 200, Errs.EDOCBADCONTENTTYPE,
             "", 0, downloadEnd, Nil, "")
         } else {
@@ -889,8 +903,11 @@ object Crawl {
           // first: getRawUtf8Content, then iframe expansion
           // (getExpandedUtf8Content — precomputed via the frame-content
           // join when the page bears frame tags), then the
-          // getUtf8Content chain)
-          val work = if (expanded != null) expanded
+          // getUtf8Content chain). CT_PDF arrives converted to HTML
+          // (GbPdf — the pdftohtml stand-in), already UTF-8.
+          val work = if (pdfHtml != null)
+              pdfHtml.getBytes(StandardCharsets.UTF_8)
+            else if (expanded != null) expanded
             else graft.core.GbCharset.toUtf8(html, graft.core.GbCharset.fromHttpHeader(pcs))
           GbXml.sanitizeUtf8(work)
           val decoded = GbXml.htmlDecode(work, doSpecial = true)

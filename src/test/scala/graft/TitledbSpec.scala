@@ -22,7 +22,13 @@ class TitledbSpec extends AnyFunSuite {
     // superset of the unexpanded extraction.
     rows.foreach { t =>
       assert(t.http_status == 200 && t.html != null && t.html.nonEmpty, t.url)
-      if (!graft.core.GbIframe.mayHaveFrames(t.html))
+      if (t.url.endsWith(".pdf"))
+        // PDF records store the raw SERVED pdf bytes but the extraction
+        // of the GbPdf-converted html (the pdftohtml pipe analogue)
+        assert(GbXml.extractText(
+          graft.core.GbPdf.toHtml(t.html).getBytes("UTF-8")) == t.text,
+          s"titledb pdf text mismatch for ${t.url}")
+      else if (!graft.core.GbIframe.mayHaveFrames(t.html))
         assert(GbXml.extractText(t.html) == t.text, s"titledb text mismatch for ${t.url}")
       else {
         val unexpanded = GbXml.extractText(t.html)
