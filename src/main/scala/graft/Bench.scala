@@ -26,7 +26,9 @@ object Bench {
     "j3_dedup_merge", "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "ann_cosine_topk", "ann_lsh_topk", "text_tokens",
     "text_quality", "text_fingerprint", "x2_uh48", "x10_extract_text",
-    "q2_search_topk", "mm_decode")
+    "q2_search_topk", "q4_search_density", "q5_search_phrase",
+    "q8_search_summary", "q10_search_gigabits", "q11_search_minus",
+    "mm_decode")
 
   /** `waves` = shuffle partitions PER CORE. The schedule kernel runs 4
     * (standard over-partitioning: 4 waves of quarter-size tasks sort/
@@ -571,10 +573,14 @@ object Bench {
          || full crawl loop (scheduled/sec, ${Corpus.small.nHosts} hosts, $iters iterations, same input) | $loLoopSched%.1f | $hiLoopSched%.1f | $loopEff%.3f | — |
          |
          |Per-core rates (the number that must be flat for the weak-scaling
-         |ratio to mean anything): lo $schedLoPerCore%,.0f urls/sec/core,
-         |hi $schedHiPerCore%,.0f, and the local[$maxCores] x ${frontierN * 4}%,d-row
-         |corroboration run (same rows- and memory-per-core)
-         |$schedMaxPerCore%,.0f.
+         |ratio to mean anything): lo $schedLoPerCore%,.0f urls/sec/core vs
+         |hi $schedHiPerCore%,.0f — one band. The local[$maxCores] x
+         |${frontierN * 4}%,d-row run (same rows- and memory-per-core)
+         |drops to $schedMaxPerCore%,.0f/core: past ~8 threads one socket's
+         |DRAM bandwidth is shared by all cores (the scale-out note below),
+         |which is why 2-vs-8, not 8-vs-32, is the honest cluster model
+         |on this box — a real 4x executor scale-out multiplies memory
+         |bandwidth with cores.
          |
          |Strong-scaling companion (the rule's literal same-input shape,
          |one pair, NOT the headline): $frontierN%,d rows at local[$lo] =
@@ -675,8 +681,9 @@ object Bench {
          |
          |Reference anchor (BASELINE.md): ~1 page/sec/core spider+index ⇒ a
          |32-core box ≈ 32 fetch-equivalents/sec; this engine schedules
-         |$hiSchedRate%,.0f urls/sec and parses $hiExRate%,.0f pages/sec on the
-         |same 32 threads (no network I/O in the sandbox).
+         |$hiSchedRate%,.0f urls/sec and parses $hiExRate%,.0f pages/sec on
+         |8 threads (and $maxSchedRate%,.0f / $maxExRate%,.0f on all 32 —
+         |no network I/O in the sandbox).
          |
          |## LSH recall vs exact (sf0.01, committed thresholds)
          |
