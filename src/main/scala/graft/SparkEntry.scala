@@ -590,7 +590,14 @@ object SparkEntry {
     // docids from the vote buffer)
     "q11_search_minus" -> ((s, d) =>
       graft.search.Search.searchMinusTopK(read(s, d, "documents"),
-        "doc_id", "text", "source", "spark hash -merge", 20))
+        "doc_id", "text", "source", "spark hash -merge", 20)),
+    // the reference's maximin ranking shape: doc score = min over query
+    // term pairs of the best occurrence-pair distance kernel
+    // (Posdb.cpp:2929 "ZAK'S ALGO" min-pair loop; :3548 the
+    // 100/(dist+1) kernel; :1395 term-freq weights)
+    "q12_search_pairmin" -> ((s, d) =>
+      graft.search.Search.searchPairMinTopK(read(s, d, "documents"),
+        "doc_id", "text", "source", "spark hash merge", 20))
   )
 
   /** Builds a DuckDB VALUES oracle from a committed golden tsv. `cols`:
@@ -753,6 +760,26 @@ object SparkEntry {
         "ma AS (SELECT w, sum(doc_score) AS gbscore, count(*) AS num_pages FROM pd GROUP BY 1) " +
         "SELECT w AS term, CAST(gbscore * num_pages / (CASE WHEN num_pages <= 1 THEN 4.0 ELSE 1.0 END) AS DOUBLE) AS gb_score, num_pages " +
         "FROM ma ORDER BY gb_score DESC, num_pages DESC, term ASC LIMIT 20"),
+    // q12: min over term pairs of max over occurrence pairs of
+    // 100/(dist+1), dist = max(2Δ,2)−2 (+1 out of query order), times
+    // both terms' freq weights 0.5+min(df/N,0.5); micro-unit BIGINT
+    "q12_search_pairmin" ->
+      ("WITH toks AS (SELECT doc_id, source, unnest(arr) AS w, generate_subscripts(arr, 1) - 1 AS pos " +
+        "FROM (SELECT doc_id, source, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS arr FROM documents)), " +
+        "posts AS (SELECT doc_id, pos, CASE w WHEN 'spark' THEN 0 WHEN 'hash' THEN 1 ELSE 2 END AS qi " +
+        "FROM toks WHERE w IN ('spark','hash','merge')), " +
+        "nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents), " +
+        "fw AS (SELECT qi, 0.5 + least(count(DISTINCT doc_id) / (SELECT n FROM nd), 0.5) AS fw FROM posts GROUP BY 1), " +
+        "pb AS (SELECT a.doc_id, a.qi AS ia, b.qi AS ib, " +
+        "max(100.0 / (greatest(2, 2 * abs(a.pos - b.pos)) - 2 + (CASE WHEN b.pos < a.pos THEN 1 ELSE 0 END) + 1)) AS best " +
+        "FROM posts a JOIN posts b ON a.doc_id = b.doc_id AND a.qi < b.qi GROUP BY 1,2,3), " +
+        "pbw AS (SELECT pb.doc_id, pb.best * fa.fw * fb.fw AS best FROM pb " +
+        "JOIN fw fa ON fa.qi = pb.ia JOIN fw fb ON fb.qi = pb.ib), " +
+        "sc AS (SELECT doc_id, CAST(round(min(best) * 1e6) AS BIGINT) AS score FROM pbw GROUP BY 1 HAVING count(*) = 3), " +
+        "scs AS (SELECT s.doc_id, s.score, d.source FROM sc s JOIN documents d ON d.doc_id = s.doc_id), " +
+        "clustered AS (SELECT doc_id, score FROM (SELECT doc_id, score, row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS sr FROM scs) WHERE sr <= 2), " +
+        "topk AS (SELECT doc_id, score FROM clustered ORDER BY score DESC, doc_id ASC LIMIT 20) " +
+        "SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank FROM topk"),
     // q11: q2 scoring over the plus terms, minus-term docids vetoed
     "q11_search_minus" ->
       ("WITH toks AS (SELECT doc_id, source, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w FROM documents), " +

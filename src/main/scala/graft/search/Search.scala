@@ -471,6 +471,82 @@ object Search {
       .orderBy(col("rank").asc)
   }
 
+  /** The reference's actual multi-term ranking SHAPE — min over query
+    * term pairs of the best pair score ("ZAK'S ALGO",
+    * Posdb.cpp:2929-2966: minPairScore over all (i,j); the final doc
+    * score is that min, :2972-2983). Per pair, best = MAX over
+    * occurrence pairs of the distance kernel
+    * (getTermPairScoreForWindow, Posdb.cpp:3548-3617):
+    *
+    *   dist = |p1 − p2|, floored at 2, minus qdist(=2), +1 when the
+    *   occurrences are out of query order; score = 100 / (dist + 1),
+    *
+    * times the two terms' frequency weights (m_freqWeights,
+    * Posdb.cpp:1395; getTermFreqWeight :1216-1244 = 0.5 +
+    * min(termFreq/numDocs, 0.5) — COMMON terms weigh more so the min
+    * lands on the rare pair). Slice stand-ins, documented: positions
+    * are token indexes (the reference's posdb units run ~2 per word —
+    * dist = 2·Δtokens); body-only hashgroup/density/spam weights = 1
+    * (density's effect is evidenced separately in q4); termFreq =
+    * document frequency over the corpus; no sliding-window restriction
+    * of body occurrences (the window only prunes which occurrence
+    * pairs are eligible — the kernel and the maximin combination are
+    * what this operator pins); no siterank multiplier (:2983 — the
+    * documents table carries none).
+    *
+    * Scale shape: the pair join runs on the query-term-pruned postings
+    * (O(Σ posting-list length)), per-doc expansion bounded by the
+    * occurrence count squared — the same bound as the reference's
+    * in-memory term-pair walk over one docid's lists. */
+  def searchPairMinTopK(docs: DataFrame, idCol: String, textCol: String,
+                        siteCol: String, query: String, k: Int,
+                        perSite: Int = 2): DataFrame = {
+    val terms = query.toLowerCase.split(TokenRe).filter(_.nonEmpty).distinct
+    require(terms.length >= 2, "pair scoring needs >= 2 terms")
+    val nPairs = terms.length * (terms.length - 1) / 2
+    val sites = docs.select(col(idCol).as("site_doc_id"), col(siteCol).as("site"))
+
+    // qidx = the term's position in the query (order matters for the
+    // out-of-order penalty)
+    val qidx = terms.zipWithIndex.tail.foldLeft(when(col("word") === terms.head, 0)) {
+      case (acc, (t, i)) => acc.when(col("word") === t, i)
+    }
+    val posts = postings(docs, idCol, textCol)
+      .filter(col("term_id").isInCollection(terms.map(termId)))
+      .select(col("doc_id"), col("pos"), qidx.as("qi"))
+
+    // per-term document frequency → freq weight 0.5 + min(df/N, 0.5)
+    val nDocs = docs.count().toDouble
+    val fw = posts.groupBy(col("qi")).agg(countDistinct(col("doc_id")).as("df"))
+      .select(col("qi").as("fw_qi"),
+        (lit(0.5) + least(col("df") / lit(nDocs), lit(0.5))).as("fw"))
+
+    val a = posts.select(col("doc_id"), col("qi").as("ia"), col("pos").as("pa"))
+    val b = posts.select(col("doc_id").as("doc_b"), col("qi").as("ib"), col("pos").as("pb"))
+    // dist in reference units = 2·Δtokens (floored at 2) − qdist(2),
+    // +1 out of query order; kernel = 100/(dist+1); best per pair
+    val dist = greatest(lit(2), abs(col("pa") - col("pb")) * 2) - lit(2) +
+      when(col("pb") < col("pa"), 1).otherwise(0)
+    val pairBest = a.join(b, col("doc_id") === col("doc_b") && col("ia") < col("ib"))
+      .select(col("doc_id"), col("ia"), col("ib"),
+        (lit(100.0) / (dist.cast("double") + lit(1.0))).as("s"))
+      .groupBy(col("doc_id"), col("ia"), col("ib"))
+      .agg(max(col("s")).as("best"))
+      .join(fw, col("ia") === col("fw_qi"))
+      .withColumn("best", col("best") * col("fw")).drop("fw", "fw_qi")
+      .join(fw, col("ib") === col("fw_qi"))
+      .withColumn("best", col("best") * col("fw")).drop("fw", "fw_qi")
+
+    // min over pairs; requiring ALL pairs present IS the AND check
+    val scored = pairBest.groupBy("doc_id")
+      .agg(min(col("best")).as("minbest"), count(lit(1)).as("np"))
+      .filter(col("np") === nPairs)
+      // micro-units so the oracle compare is float-format-proof
+      .select(col("doc_id"), round(col("minbest") * lit(1e6)).cast("long").as("score"))
+
+    clusteredTopK(scored, sites, k, perSite)
+  }
+
   /** AND-query with NEGATIVE terms — the reference's '-term' sign:
     * Query.cpp:2494-2496 reads the sign off the preceding punct token
     * (a '-' straight after whitespace), Query.cpp:933 carries it to

@@ -257,6 +257,21 @@ class SearchSpec extends AnyFunSuite {
     assert(r == Seq((1L, 2L, 1)))
   }
 
+  test("pair-min scoring: maximin over term pairs, out-of-order penalty (Posdb.cpp ZAK'S ALGO)") {
+    import spark.implicits._
+    // doc 1 "spark hash merge": pairs (s,h)=100, (s,m)=100/3 (d=2),
+    // (h,m)=100 → min = 100/3 → 33333333 micro (fw=1.0, df=2/2)
+    // doc 2 "merge hash spark": every pair out of order → (s,h) d=1 →
+    // 50, (s,m) d=3 → 25, (h,m) d=1 → 50 → min 25 → 25000000
+    val d = Seq(
+      (1L, "spark hash merge", "a"),
+      (2L, "merge hash spark", "b")).toDF("doc_id", "text", "source")
+    val r = Search.searchPairMinTopK(d, "doc_id", "text", "source",
+        "spark hash merge", 10)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(r == Seq((1L, 33333333L, 1), (2L, 25000000L, 2)))
+  }
+
   test("highlight wraps matches in the per-term color span (Highlight.cpp s_frontTags)") {
     import spark.implicits._
     val d = Seq((1L, "x fast spark y", "a")).toDF("doc_id", "text", "source")
