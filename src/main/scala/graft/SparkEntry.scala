@@ -597,7 +597,12 @@ object SparkEntry {
     // 100/(dist+1) kernel; :1395 term-freq weights)
     "q12_search_pairmin" -> ((s, d) =>
       graft.search.Search.searchPairMinTopK(read(s, d, "documents"),
-        "doc_id", "text", "source", "spark hash merge", 20))
+        "doc_id", "text", "source", "spark hash merge", 20)),
+    // site: field query (Query.cpp:442 FIELD_SITE) — results restricted
+    // to one site, with a -site: exclusion in the same parse
+    "q13_search_site" -> ((s, d) =>
+      graft.search.Search.searchMinusTopK(read(s, d, "documents"),
+        "doc_id", "text", "source", "spark hash site:src3", 10))
   )
 
   /** Builds a DuckDB VALUES oracle from a committed golden tsv. `cols`:
@@ -779,6 +784,15 @@ object SparkEntry {
         "scs AS (SELECT s.doc_id, s.score, d.source FROM sc s JOIN documents d ON d.doc_id = s.doc_id), " +
         "clustered AS (SELECT doc_id, score FROM (SELECT doc_id, score, row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS sr FROM scs) WHERE sr <= 2), " +
         "topk AS (SELECT doc_id, score FROM clustered ORDER BY score DESC, doc_id ASC LIMIT 20) " +
+        "SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank FROM topk"),
+    // q13: q2 scoring restricted to one site (site: field)
+    "q13_search_site" ->
+      ("WITH toks AS (SELECT doc_id, source, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w FROM documents), " +
+        "tf AS (SELECT doc_id, source, w, count(*) AS tf FROM toks WHERE w IN ('spark','hash') GROUP BY 1,2,3), " +
+        "scored AS (SELECT doc_id, source, sum(tf) AS score FROM tf GROUP BY 1,2 HAVING count(DISTINCT w) = 2), " +
+        "kept AS (SELECT doc_id, source, score FROM scored WHERE source = 'src3'), " +
+        "clustered AS (SELECT doc_id, score FROM (SELECT doc_id, score, row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS sr FROM kept) WHERE sr <= 2), " +
+        "topk AS (SELECT doc_id, CAST(score AS BIGINT) AS score FROM clustered ORDER BY score DESC, doc_id ASC LIMIT 10) " +
         "SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank FROM topk"),
     // q11: q2 scoring over the plus terms, minus-term docids vetoed
     "q11_search_minus" ->

@@ -564,12 +564,26 @@ object Search {
                       siteCol: String, query: String, k: Int,
                       perSite: Int = 2): DataFrame = {
     val raw = query.toLowerCase.split("\\s+").filter(_.nonEmpty)
-    val minus = raw.filter(_.startsWith("-")).map(_.drop(1))
+    // site: field terms (Query.cpp:442 FIELD_SITE; '-site:' excludes):
+    // the slice matches the site/clustering column exactly — the
+    // reference matches the url's site prefix, which IS that column
+    // for titledb-backed search (SiteGetter site)
+    val siteRe = "^(-?)site:(.+)$".r
+    val siteReq = raw.collect { case siteRe("", s) => s }
+    val siteNeg = raw.collect { case siteRe("-", s) => s }
+    val words = raw.filterNot(t => siteRe.pattern.matcher(t).matches)
+    val minus = words.filter(_.startsWith("-")).map(_.drop(1))
       .flatMap(_.split(TokenRe)).filter(_.nonEmpty).distinct
-    val plus = raw.filterNot(_.startsWith("-"))
+    val plus = words.filterNot(_.startsWith("-"))
       .flatMap(_.split(TokenRe)).filter(_.nonEmpty).distinct
     require(plus.nonEmpty, "need at least one positive term")
+    // clusteredTopK inner-joins scored docs with `sites`, so the field
+    // restriction is a filter on that dimension side — it prunes before
+    // the clustering window, never rescans postings
     val sites = docs.select(col(idCol).as("site_doc_id"), col(siteCol).as("site"))
+      .filter(
+        (if (siteReq.isEmpty) lit(true) else col("site").isInCollection(siteReq.toSeq)) &&
+          (if (siteNeg.isEmpty) lit(true) else !col("site").isInCollection(siteNeg.toSeq)))
 
     val posts = postings(docs, idCol, textCol)
     val tf = posts.filter(col("term_id").isInCollection(plus.map(termId)))

@@ -257,6 +257,22 @@ class SearchSpec extends AnyFunSuite {
     assert(r == Seq((1L, 2L, 1)))
   }
 
+  test("site: field restricts results; -site: excludes (Query.cpp FIELD_SITE)") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "spark hash", "a"),
+      (2L, "spark hash spark", "b"),
+      (3L, "spark hash", "b")).toDF("doc_id", "text", "source")
+    val req = Search.searchMinusTopK(d, "doc_id", "text", "source",
+        "spark hash site:b", 10)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(req == Seq((2L, 3L, 1), (3L, 2L, 2)))
+    val neg = Search.searchMinusTopK(d, "doc_id", "text", "source",
+        "spark hash -site:b", 10)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(neg == Seq((1L, 2L, 1)))
+  }
+
   test("pair-min scoring: maximin over term pairs, out-of-order penalty (Posdb.cpp ZAK'S ALGO)") {
     import spark.implicits._
     // doc 1 "spark hash merge": pairs (s,h)=100, (s,m)=100/3 (d=2),
