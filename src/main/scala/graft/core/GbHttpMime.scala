@@ -197,13 +197,13 @@ object GbHttpMime {
     * (XmlDoc gates text docs on html/text/xml.) */
   def isTextual(ct: Int): Boolean = ct == CtHtml || ct == CtText || ct == CtXml
 
-  /** CTs the engine indexes DIRECTLY (no external converter). The
-    * reference's indexability list (XmlDoc.cpp:3897-3903, 4012-4020)
-    * also accepts PDF/XLS/PPT/PS/DOC — via gbfilter conversion
-    * (pdftohtml/antiword/pstotext, XmlDoc.cpp:19192); with no filter
-    * binary those fall to EDOCBADCONTENTTYPE (the no-filter branch,
-    * XmlDoc.cpp:19010-19014). This sandbox ships no converters, so the
-    * fetch path maps every non-text CT there. */
+  /** CTs the engine indexes DIRECTLY (no converter). The reference's
+    * indexability list (XmlDoc.cpp:3897-3903, 4012-4020) also accepts
+    * PDF/XLS/PPT/PS/DOC via gbfilter conversion (pdftohtml/antiword/
+    * pstotext, XmlDoc.cpp:19192). CT_PDF converts through the native
+    * GbPdf (the fetch path and WARC ingest route it there); the other
+    * converter formats have no open implementation in this sandbox and
+    * fall to EDOCBADCONTENTTYPE. */
   def isIndexable(ct: Int): Boolean =
     ct == CtHtml || ct == CtText || ct == CtXml || ct == CtJson
 

@@ -107,7 +107,13 @@ object Warc {
       .as[Array[Byte]]
       .flatMap { blob =>
         parseWarc(blob).iterator
-          .filter(r => r.httpStatus == 200 && graft.core.GbHttpMime.isTextual(r.ctId))
+          // PDF members ride through too — the reference's
+          // indexWarcOrArc accepts CT_PDF (XmlDoc.cpp:4012-4020) and
+          // each sub-doc converts in the pipeline (here: GbPdf at the
+          // fetch CT gate, via the content_type carried on the row)
+          .filter(r => r.httpStatus == 200 &&
+            (graft.core.GbHttpMime.isTextual(r.ctId) ||
+              r.ctId == graft.core.GbHttpMime.CtPdf))
           // gzip/deflate payload members decode first (gbuncompress);
           // corrupt streams drop the member (ECORRUPTHTTPGZIP)
           .map(r => r.copy(body = contentDecode(r.body, r.gzip, r.deflate)))
@@ -126,8 +132,18 @@ object Warc {
             val utf8 = graft.core.GbCharset.toUtf8(r.body, hdrCs)
             // carry the header charset so downstream re-decodes of the
             // raw bytes (fetch / iframe expansion) keep the same
-            // precedence as this text extraction
-            PageRow(url, ts, r.body, GbXml.extractText(utf8), "", r.charset)
+            // precedence as this text extraction; carry the CT so the
+            // fetch gate routes PDFs through GbPdf
+            val isPdf = r.ctId == graft.core.GbHttpMime.CtPdf
+            val text =
+              if (isPdf) {
+                val conv = graft.core.GbPdf.toHtml(r.body)
+                if (conv != null)
+                  GbXml.extractText(conv.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                else GbXml.extractText(utf8)
+              } else GbXml.extractText(utf8)
+            PageRow(url, ts, r.body, text, "", r.charset,
+              if (isPdf) "application/pdf" else "")
           }
       }
   }
@@ -139,9 +155,14 @@ object Warc {
   /** Like buildWarc with a per-record Content-Encoding ("", "gzip" or
     * "deflate"): the body is compressed accordingly and the header
     * advertises it — the gzip'd-payload-member fixture. */
-  def buildWarcEnc(records: Seq[(String, String, Array[Byte], String)]): Array[Byte] = {
+  def buildWarcEnc(records: Seq[(String, String, Array[Byte], String)]): Array[Byte] =
+    buildWarcCt(records.map(r => (r._1, r._2, r._3, r._4, "text/html")))
+
+  /** Full fixture builder: per-record Content-Encoding AND
+    * Content-Type (the PDF-member fixture sets application/pdf). */
+  def buildWarcCt(records: Seq[(String, String, Array[Byte], String, String)]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    records.foreach { case (url, date, raw, enc) =>
+    records.foreach { case (url, date, raw, enc, ct) =>
       val body = enc match {
         case "gzip" =>
           val bos = new java.io.ByteArrayOutputStream()
@@ -154,7 +175,7 @@ object Warc {
         case _ => raw
       }
       val encHdr = if (enc.isEmpty) "" else s"Content-Encoding: $enc\r\n"
-      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n$encHdr" +
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n$encHdr" +
         s"Content-Length: ${body.length}\r\n\r\n")
         .getBytes(StandardCharsets.ISO_8859_1)
       val contentLen = http.length + body.length

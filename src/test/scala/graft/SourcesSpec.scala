@@ -59,6 +59,29 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("WARC PDF members ride through with their CT; image members still drop (indexWarcOrArc CT list)") {
+    val pdf = ("%PDF-1.4\n1 0 obj << /Length 40 >> stream\n" +
+      "BT (warc pdf member text) Tj ET\nendstream endobj\n%%EOF\n")
+      .getBytes("ISO-8859-1")
+    val html = "<html><body>plain member</body></html>".getBytes("UTF-8")
+    val gif = Array[Byte]('G', 'I', 'F', '8', '9', 'a', 0, 0)
+    val dir = java.nio.file.Files.createTempDirectory("graftwarcpdf")
+    java.nio.file.Files.write(dir.resolve("fixture.warc"), Warc.buildWarcCt(Seq(
+      ("http://www.hp.test/doc.pdf", "2014-01-01T00:00:00Z", pdf, "", "application/pdf"),
+      ("http://www.hp.test/", "2014-01-01T00:00:00Z", html, "", "text/html"),
+      ("http://www.hp.test/x.gif", "2014-01-01T00:00:00Z", gif, "", "image/gif"))))
+    val pages = Warc.readPages(spark, dir.toString).collect().sortBy(_.url)
+    assert(pages.length == 2) // gif member dropped at ingest
+    val p = pages.find(_.url.endsWith(".pdf")).get
+    assert(p.content_type == "application/pdf")
+    assert(p.html.sameElements(pdf)) // raw served bytes kept
+    // text = extraction of the GbPdf-converted html (the pipeline fate)
+    assert(p.text == graft.core.GbXml.extractText(
+      graft.core.GbPdf.toHtml(pdf).getBytes("UTF-8")))
+    assert(p.text.contains("warc pdf member text"))
+    assert(pages.find(_.url == "http://www.hp.test/").get.content_type == "")
+  }
+
   test("WARC parser skips non-response records and truncation") {
     val good = Warc.buildWarc(Seq(("http://a.test/", "2014-01-01T00:00:00Z", "<p>x</p>".getBytes)))
     val meta = ("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nblah\r\n\r\n").getBytes
