@@ -496,6 +496,12 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => TextOps.exactDupCounts(read(s, d, "documents"))),
     "dedup_ngram_jaccard" -> ((s, d) => TextOps.ngramJaccardPairs(read(s, d, "documents"), 200L, 50)),
     "dedup_minhash_lsh" -> ((s, d) => TextOps.minhashLshCandidates(read(s, d, "documents"), 32, 8, 500L)),
+    // cluster assignment over the minhash pair set: connected
+    // components by iterative min-label propagation (the post-pair
+    // dedup step — one canonical doc per component)
+    "dedup_clusters" -> ((s, d) =>
+      TextOps.dupClusters(TextOps.minhashLshCandidates(read(s, d, "documents"), 32, 8, 500L))
+        .orderBy(col("doc_id"))),
     "dedup_simhash" -> ((s, d) => TextOps.simhashCandidates(read(s, d, "documents"), 500L)),
     "dedup_embedding_cosine" -> ((s, d) => TextOps.embeddingDupPairs(read(s, d, "embeddings"), 300L, 35)),
     // the 100-TB dedup path: banded hyperplane LSH candidates + exact
@@ -659,6 +665,17 @@ object SparkEntry {
     // (GenTextOpsGoldens)
     "dedup_minhash_lsh" -> valuesOracle("textops_minhash_lsh.tsv",
       Seq(("doc_a", "BIGINT", false), ("doc_b", "BIGINT", false))),
+    // clusters: transitive closure over the SAME committed pair golden
+    // (min reachable doc_id per component, recursive CTE)
+    "dedup_clusters" ->
+      ("WITH RECURSIVE p AS (" +
+        valuesOracle("textops_minhash_lsh.tsv",
+          Seq(("doc_a", "BIGINT", false), ("doc_b", "BIGINT", false))) + "), " +
+        "e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p), " +
+        "n AS (SELECT DISTINCT src AS id FROM e), " +
+        "reach(id, lbl) AS (SELECT id, id FROM n " +
+        "UNION SELECT e.src, r.lbl FROM e JOIN reach r ON e.dst = r.id) " +
+        "SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1 ORDER BY 1"),
     "dedup_simhash" -> valuesOracle("textops_simhash.tsv",
       Seq(("doc_a", "BIGINT", false), ("doc_b", "BIGINT", false), ("hamming", "INTEGER", false))),
     "ann_lsh_topk" -> valuesOracle("textops_ann_lsh.tsv",

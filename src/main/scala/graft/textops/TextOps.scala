@@ -112,6 +112,42 @@ object TextOps {
       .distinct()
   }
 
+  /** Connected components over a near-dup pair list — the cluster
+    * assignment a dedup pipeline needs AFTER pair detection (pick one
+    * canonical doc per component, drop the rest). Iterative min-label
+    * propagation: each round every node takes the min label over its
+    * closed neighborhood; converges in O(component diameter) rounds,
+    * each round one equi-join + hash-aggregate, nothing collected.
+    * Banded-LSH dup graphs are near-cliques (diameter ~2), so the loop
+    * is 2-3 rounds in practice; at 100 TB the same loop runs with the
+    * edge list bucketed by node, and a hub-heavy graph would swap in
+    * the large-star/small-star contraction — same join shapes.
+    *
+    * Input: (doc_a, doc_b); output: (doc_id, cluster_id) for every doc
+    * appearing in a pair, cluster_id = min doc_id of its component. */
+  def dupClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).persist()
+    var changed = 1L
+    while (changed > 0) {
+      val next = labels
+        .union(edges.join(labels, col("dst") === col("id"))
+          .select(col("src").as("id"), col("lbl")))
+        .groupBy("id").agg(min(col("lbl")).as("lbl"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("lbl", "prev"), Seq("id"))
+        .filter(col("lbl") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   // ---------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over word hashes. */

@@ -114,4 +114,13 @@ class TextOpsSpec extends AnyFunSuite {
     val f = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[scala.collection.Seq[Float]]("features")).toMap
     assert(f(0L) == f(1L))
   }
+  test("dup clusters: min-label components over a pair list (path needs multiple rounds)") {
+    import spark.implicits._
+    // path 1-2-3-4 (diameter 3 exercises >1 propagation round) plus a
+    // separate pair {10,11}; singletons (no pairs) are not emitted
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val r = TextOps.dupClusters(pairs).as[(Long, Long)].collect().sorted.toSeq
+    assert(r == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (10L, 10L), (11L, 10L)))
+  }
 }
