@@ -608,8 +608,18 @@ object SparkEntry {
     // to one site, with a -site: exclusion in the same parse
     "q13_search_site" -> ((s, d) =>
       graft.search.Search.searchMinusTopK(read(s, d, "documents"),
-        "doc_id", "text", "source", "spark hash site:src3", 10))
+        "doc_id", "text", "source", "spark hash site:src3", 10)),
+    // boolean expressions (Query.cpp m_isBoolean; isTruth over the
+    // per-doc term-presence bit vector, Query.h:193): parens, NOT,
+    // left-to-right AND/OR without precedence — the same parse renders
+    // the Spark predicate AND the oracle SQL
+    "q14_search_bool" -> ((s, d) =>
+      graft.search.Search.searchBoolTopK(read(s, d, "documents"),
+        "doc_id", "text", "source", boolQuery, 20))
   )
+
+  /** The q14 boolean query — shared by the Spark entry and the oracle. */
+  private val boolQuery = "spark AND (hash OR merge) AND NOT batch"
 
   /** Builds a DuckDB VALUES oracle from a committed golden tsv. `cols`:
     * (name, sqlType, quoted). */
@@ -811,6 +821,21 @@ object SparkEntry {
         "clustered AS (SELECT doc_id, score FROM (SELECT doc_id, score, row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS sr FROM kept) WHERE sr <= 2), " +
         "topk AS (SELECT doc_id, CAST(score AS BIGINT) AS score FROM clustered ORDER BY score DESC, doc_id ASC LIMIT 10) " +
         "SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank FROM topk"),
+    // q14: the SAME boolean parse renders this SQL (boolOracleParts) —
+    // presence bits from a per-doc tf pivot, score = Σ positive tf
+    "q14_search_bool" -> {
+      val (terms, boolSql, positive) = graft.search.Search.boolOracleParts(boolQuery)
+      val inList = terms.map(t => s"'$t'").mkString(",")
+      val pivotCols = terms.map(t => s"max(CASE WHEN w = '$t' THEN tf END) AS tf_$t").mkString(", ")
+      val scoreSql = positive.map(t => s"coalesce(tf_$t, 0)").mkString(" + ")
+      "WITH toks AS (SELECT doc_id, source, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w FROM documents), " +
+        s"tf AS (SELECT doc_id, source, w, count(*) AS tf FROM toks WHERE w IN ($inList) GROUP BY 1,2,3), " +
+        s"pv AS (SELECT doc_id, source, $pivotCols FROM tf GROUP BY doc_id, source), " +
+        s"kept AS (SELECT doc_id, source, $scoreSql AS score FROM pv WHERE $boolSql AND $scoreSql > 0), " +
+        "clustered AS (SELECT doc_id, score FROM (SELECT doc_id, score, row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS sr FROM kept) WHERE sr <= 2), " +
+        "topk AS (SELECT doc_id, CAST(score AS BIGINT) AS score FROM clustered ORDER BY score DESC, doc_id ASC LIMIT 20) " +
+        "SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank FROM topk"
+    },
     // q11: q2 scoring over the plus terms, minus-term docids vetoed
     "q11_search_minus" ->
       ("WITH toks AS (SELECT doc_id, source, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w FROM documents), " +

@@ -471,6 +471,158 @@ object Search {
       .orderBy(col("rank").asc)
   }
 
+  // ------------------------------------------------------- boolean queries
+
+  /** Parsed boolean query item: a term, a NOT, or a parenthesized
+    * sub-expression; a level is `item (AND|OR item)*`. */
+  private sealed trait BItem
+  private final case class BTerm(w: String) extends BItem
+  private final case class BGroup(level: BLevel) extends BItem
+  private final case class BLevel(items: Seq[(String, Boolean, BItem)]) // (opBefore, notted, item)
+
+  /** Tokenize + recursive-descent parse. Operators must be UPPERCASE
+    * (Query.cpp:2168-2206 only recognizes 'AND'/'OR'/'NOT' as opcodes;
+    * lowercase 'and' is an ordinary — usually ignored — query word). */
+  private def parseBool(q: String): BLevel = {
+    val toks = q.replace("(", " ( ").replace(")", " ) ")
+      .split("\\s+").filter(_.nonEmpty).toList
+    def level(ts: List[String]): (BLevel, List[String]) = {
+      var rest = ts
+      val items = Seq.newBuilder[(String, Boolean, BItem)]
+      var op = ""
+      var first = true
+      while (rest.nonEmpty && rest.head != ")") {
+        rest.head match {
+          case "AND" | "OR" => op = rest.head; rest = rest.tail
+          case _ =>
+            var notted = false
+            while (rest.nonEmpty && rest.head == "NOT") { notted = !notted; rest = rest.tail }
+            require(rest.nonEmpty && rest.head != ")", s"dangling NOT in '$q'")
+            val item: BItem =
+              if (rest.head == "(") {
+                val (l, r2) = level(rest.tail)
+                require(r2.nonEmpty && r2.head == ")", s"unbalanced parens in '$q'")
+                rest = r2.tail
+                BGroup(l)
+              } else {
+                val w = rest.head.toLowerCase.replaceAll(TokenRe, "")
+                rest = rest.tail
+                BTerm(w)
+              }
+            // operator-less adjacency ('a b') behaves differently in
+            // the reference (isTruth keeps result=-1 and the LAST
+            // operand wins) — reject instead of silently diverging
+            require(first || op.nonEmpty,
+              s"boolean query needs AND/OR between operands: '$q'")
+            items += (((if (first) "" else op), notted, item)); first = false
+            op = ""
+        }
+      }
+      (BLevel(items.result()), rest)
+    }
+    val (l, rest) = level(toks)
+    require(rest.isEmpty, s"unbalanced parens in '$q'")
+    l
+  }
+
+  private def boolTerms(l: BLevel): Seq[String] = l.items.flatMap {
+    case (_, _, BTerm(w)) => Seq(w)
+    case (_, _, BGroup(g)) => boolTerms(g)
+  }
+
+  /** Terms that SCORE: outside any NOT (a vetoed term never adds tf). */
+  private def boolPositiveTerms(l: BLevel): Seq[String] = l.items.flatMap {
+    case (_, false, BTerm(w)) => Seq(w)
+    case (_, false, BGroup(g)) => boolPositiveTerms(g)
+    case _ => Nil
+  }
+
+  /** Render one level with the reference's isTruth accumulation
+    * (Query.cpp:5524-5645): a flat left-to-right loop with NO operator
+    * precedence — at each operand after the first, the LAST operator
+    * seen combines (runningResult, prevOperand, thisOperand):
+    * AND turns the result off unless both neighbors hold (seeding
+    * true), OR turns it on if either holds (seeding false) WITHOUT
+    * resetting an earlier true — the reference's mixed-operator quirk
+    * ('a AND b OR c' = (a AND b) OR b OR c), ported as-is. `tv`/`fv`
+    * abstract true/false literals; `and`/`or`/`not` the connectives —
+    * one renderer for Catalyst Columns, one for DuckDB SQL text. */
+  private def renderBool[T](l: BLevel, term: String => T,
+                            and: (T, T) => T, or: (T, T) => T, not: T => T,
+                            tv: T, fv: T): T = {
+    var result: Option[T] = None
+    var prevOperand: Option[T] = None
+    var lastOp = ""
+    l.items.foreach { case (opBefore, notted, item) =>
+      if (opBefore.nonEmpty) lastOp = opBefore
+      val raw = item match {
+        case BTerm(w) => term(w)
+        case BGroup(g) => renderBool(g, term, and, or, not, tv, fv)
+      }
+      val operand = if (notted) not(raw) else raw
+      prevOperand.foreach { prev =>
+        lastOp match {
+          case "OR" => result = Some(or(or(result.getOrElse(fv), prev), operand))
+          case _ => result = Some(and(and(result.getOrElse(tv), prev), operand))
+        }
+      }
+      prevOperand = Some(operand)
+    }
+    result.orElse(prevOperand).getOrElse(tv)
+  }
+
+  /** Boolean query over the documents table (Query.cpp m_isBoolean;
+    * Posdb evaluates each docid's term-presence bit vector against the
+    * expression, Query.h:193 isTruth / Posdb.cpp bitVec). Presence
+    * bits come from the query-term-pruned postings pivoted per doc;
+    * score = Σ tf of the present NON-NEGATED terms (a NOT'd term never
+    * scores), and a doc must hit at least one positive termlist — the
+    * reference only ever sees docids gathered FROM term lists, so a
+    * doc satisfying the expression purely by absence is never a
+    * candidate there either. Clustering/top-k are q2's. */
+  def searchBoolTopK(docs: DataFrame, idCol: String, textCol: String,
+                     siteCol: String, query: String, k: Int,
+                     perSite: Int = 2): DataFrame = {
+    val tree = parseBool(query)
+    val terms = boolTerms(tree).distinct
+    val positive = boolPositiveTerms(tree).distinct
+    require(terms.nonEmpty, "empty boolean query")
+    val sites = docs.select(col(idCol).as("site_doc_id"), col(siteCol).as("site"))
+
+    val tf = postings(docs, idCol, textCol)
+      .filter(col("term_id").isInCollection(terms.map(termId)))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val pivoted = tf.groupBy("doc_id")
+      .agg(terms.head match { case h =>
+        max(when(col("word") === h, col("tf"))).as(s"tf_$h") },
+        terms.tail.map(t => max(when(col("word") === t, col("tf"))).as(s"tf_$t")): _*)
+
+    val predicate = renderBool[Column](tree,
+      w => col(s"tf_$w").isNotNull,
+      _ && _, _ || _, c => !c, lit(true), lit(false))
+    val score = positive.map(t => coalesce(col(s"tf_$t"), lit(0L)))
+      .reduceOption(_ + _).getOrElse(lit(0L))
+
+    val scored = pivoted.filter(predicate)
+      .select(col("doc_id"), score.as("score"))
+      .filter(col("score") > 0)
+
+    clusteredTopK(scored, sites, k, perSite)
+  }
+
+  /** The DuckDB rendering of the same parse — (all terms, SQL boolean
+    * over `tf_<term> IS NOT NULL` columns, positive terms) — so the
+    * oracle provably shares the expression semantics. */
+  def boolOracleParts(query: String): (Seq[String], String, Seq[String]) = {
+    val tree = parseBool(query)
+    val sql = renderBool[String](tree,
+      w => s"(tf_$w IS NOT NULL)",
+      (a, b) => s"($a AND $b)", (a, b) => s"($a OR $b)", a => s"(NOT $a)",
+      "TRUE", "FALSE")
+    (boolTerms(tree).distinct, sql, boolPositiveTerms(tree).distinct)
+  }
+
   /** The reference's actual multi-term ranking SHAPE — min over query
     * term pairs of the best pair score ("ZAK'S ALGO",
     * Posdb.cpp:2929-2966: minPairScore over all (i,j); the final doc

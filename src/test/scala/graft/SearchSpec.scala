@@ -257,6 +257,31 @@ class SearchSpec extends AnyFunSuite {
     assert(r == Seq((1L, 2L, 1)))
   }
 
+  test("boolean queries: parens, NOT, and the isTruth left-to-right accumulation (Query.cpp:5524)") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "spark hash", "a"),      // spark AND (hash) → match, score 2
+      (2L, "spark merge", "b"),     // spark AND (merge) → match, score 2
+      (3L, "spark batch hash", "c"), // NOT batch fails
+      (4L, "hash merge", "d"),      // no spark
+      (5L, "spark spark hash", "e")) // score 3
+      .toDF("doc_id", "text", "source")
+    val r = Search.searchBoolTopK(d, "doc_id", "text", "source",
+        "spark AND (hash OR merge) AND NOT batch", 10)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(r == Seq((5L, 3L, 1), (1L, 2L, 2), (2L, 2L, 3)))
+    // the reference's mixed-operator quirk at one level:
+    // 'a AND b OR c' == (a AND b) OR b OR c — so b alone matches
+    val q = Seq((1L, "beta", "x"), (2L, "gamma", "x"), (3L, "alpha", "x"))
+      .toDF("doc_id", "text", "source")
+    val r2 = Search.searchBoolTopK(q, "doc_id", "text", "source",
+        "alpha AND beta OR gamma", 10)
+      .as[(Long, Long, Int)].collect().toSeq
+    // beta alone (doc 1) matches via the quirk; gamma (doc 2) via OR;
+    // alpha alone (doc 3) does not
+    assert(r2.map(_._1).sorted == Seq(1L, 2L))
+  }
+
   test("site: field restricts results; -site: excludes (Query.cpp FIELD_SITE)") {
     import spark.implicits._
     val d = Seq(
