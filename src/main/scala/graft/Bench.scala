@@ -28,6 +28,7 @@ object Bench {
     "text_quality", "text_fingerprint", "x2_uh48", "x10_extract_text",
     "q2_search_topk", "q4_search_density", "q5_search_phrase",
     "q8_search_summary", "q10_search_gigabits", "q11_search_minus",
+    "q12_search_pairmin", "q14_search_bool", "dedup_clusters",
     "mm_decode")
 
   /** `waves` = shuffle partitions PER CORE. The schedule kernel runs 4
