@@ -615,11 +615,36 @@ object SparkEntry {
     // the Spark predicate AND the oracle SQL
     "q14_search_bool" -> ((s, d) =>
       graft.search.Search.searchBoolTopK(read(s, d, "documents"),
-        "doc_id", "text", "source", boolQuery, 20))
+        "doc_id", "text", "source", boolQuery, 20)),
+    // multi-word gigabits: single words and adjacent bigrams in ONE
+    // ranking with the numWords multiplier (gigabitCmp,
+    // Msg40.cpp:3459: "King John on 6 pages should be John on 12")
+    "q15_search_gigabit_phrases" -> ((s, d) =>
+      graft.search.Search.searchGigabitPhrases(read(s, d, "documents"),
+        "doc_id", "text", "source", "spark hash merge", 10))
   )
 
   /** The q14 boolean query — shared by the Spark entry and the oracle. */
   private val boolQuery = "spark AND (hash OR merge) AND NOT batch"
+
+  /** Shared q10/q15 oracle prefix: q2's clustered top-10 result set →
+    * candidate occurrences with QTR-zone proximity scores (`occ`). */
+  private def gigabitOccCte: String =
+    "WITH toks AS (SELECT doc_id, source, unnest(arr) AS w, generate_subscripts(arr, 1) - 1 AS pos " +
+      "FROM (SELECT doc_id, source, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS arr FROM documents)), " +
+      "toks2 AS (SELECT doc_id, source, w, pos FROM toks WHERE w <> ''), " +
+      "tf AS (SELECT doc_id, source, w, count(*) AS tf FROM toks2 WHERE w IN ('spark','hash','merge') GROUP BY 1,2,3), " +
+      "sc AS (SELECT doc_id, source, sum(tf) AS score FROM tf GROUP BY 1,2 HAVING count(DISTINCT w) = 3), " +
+      "cl AS (SELECT doc_id, score FROM (SELECT doc_id, score, row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS sr FROM sc) WHERE sr <= 2), " +
+      "topk AS (SELECT doc_id FROM (SELECT doc_id, score FROM cl ORDER BY score DESC, doc_id ASC LIMIT 10)), " +
+      "m AS (SELECT t.doc_id, t.w AS mterm, t.pos AS mpos FROM toks2 t JOIN topk k ON t.doc_id = k.doc_id WHERE t.w IN ('spark','hash','merge')), " +
+      "c AS (SELECT t.doc_id, t.pos, t.w FROM toks2 t JOIN topk k ON t.doc_id = k.doc_id " +
+      "WHERE length(t.w) >= 4 AND t.w NOT IN ('spark','hash','merge') " +
+      s"AND t.w NOT IN (${TextOps.stopwords.map(s => s"'$s'").mkString(",")}) " +
+      "AND t.w NOT LIKE '%ed' AND t.w NOT LIKE '%ing'), " +
+      "d AS (SELECT c.doc_id, c.pos, c.w, m.mterm, min(abs(c.pos - m.mpos)) AS d " +
+      "FROM c JOIN m ON c.doc_id = m.doc_id GROUP BY 1,2,3,4 HAVING min(abs(c.pos - m.mpos)) < 20), " +
+      "occ AS (SELECT doc_id, pos, w, sum(CASE WHEN d < 4 THEN 1000 WHEN d < 8 THEN 800 WHEN d < 12 THEN 500 ELSE 200 END) AS prox FROM d GROUP BY 1,2,3), "
 
   /** Builds a DuckDB VALUES oracle from a committed golden tsv. `cols`:
     * (name, sqlType, quoted). */
@@ -773,24 +798,26 @@ object SparkEntry {
     // zone bonuses off nearest query match; per-doc max × 4.0 pop
     // boost; master merge once per doc; ×numPages, /4 if single-page)
     "q10_search_gigabits" ->
-      ("WITH toks AS (SELECT doc_id, source, unnest(arr) AS w, generate_subscripts(arr, 1) - 1 AS pos " +
-        "FROM (SELECT doc_id, source, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS arr FROM documents)), " +
-        "toks2 AS (SELECT doc_id, source, w, pos FROM toks WHERE w <> ''), " +
-        "tf AS (SELECT doc_id, source, w, count(*) AS tf FROM toks2 WHERE w IN ('spark','hash','merge') GROUP BY 1,2,3), " +
-        "sc AS (SELECT doc_id, source, sum(tf) AS score FROM tf GROUP BY 1,2 HAVING count(DISTINCT w) = 3), " +
-        "cl AS (SELECT doc_id, score FROM (SELECT doc_id, score, row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS sr FROM sc) WHERE sr <= 2), " +
-        "topk AS (SELECT doc_id FROM (SELECT doc_id, score FROM cl ORDER BY score DESC, doc_id ASC LIMIT 10)), " +
-        "m AS (SELECT t.doc_id, t.w AS mterm, t.pos AS mpos FROM toks2 t JOIN topk k ON t.doc_id = k.doc_id WHERE t.w IN ('spark','hash','merge')), " +
-        "c AS (SELECT t.doc_id, t.pos, t.w FROM toks2 t JOIN topk k ON t.doc_id = k.doc_id " +
-        "WHERE length(t.w) >= 4 AND t.w NOT IN ('spark','hash','merge') " +
-        s"AND t.w NOT IN (${TextOps.stopwords.map(s => s"'$s'").mkString(",")}) " +
-        "AND t.w NOT LIKE '%ed' AND t.w NOT LIKE '%ing'), " +
-        "d AS (SELECT c.doc_id, c.pos, c.w, m.mterm, min(abs(c.pos - m.mpos)) AS d " +
-        "FROM c JOIN m ON c.doc_id = m.doc_id GROUP BY 1,2,3,4 HAVING min(abs(c.pos - m.mpos)) < 20), " +
-        "occ AS (SELECT doc_id, pos, w, sum(CASE WHEN d < 4 THEN 1000 WHEN d < 8 THEN 800 WHEN d < 12 THEN 500 ELSE 200 END) AS prox FROM d GROUP BY 1,2,3), " +
+      (gigabitOccCte +
         "pd AS (SELECT doc_id, w, max(prox) * 4.0 AS doc_score FROM occ GROUP BY 1,2), " +
         "ma AS (SELECT w, sum(doc_score) AS gbscore, count(*) AS num_pages FROM pd GROUP BY 1) " +
         "SELECT w AS term, CAST(gbscore * num_pages / (CASE WHEN num_pages <= 1 THEN 4.0 ELSE 1.0 END) AS DOUBLE) AS gb_score, num_pages " +
+        "FROM ma ORDER BY gb_score DESC, num_pages DESC, term ASC LIMIT 20"),
+    // q15: singles + adjacent bigrams in one ranking, × numWords; a
+    // bigram's prox = max of its two words' prox (second word may be
+    // any token; non-candidates contribute 0)
+    "q15_search_gigabit_phrases" ->
+      (gigabitOccCte +
+        "tk AS (SELECT t.doc_id, t.pos, t.w FROM toks2 t JOIN topk k ON t.doc_id = k.doc_id), " +
+        "pd1 AS (SELECT doc_id, w AS term, max(prox) * 4.0 AS doc_score, 1 AS num_words FROM occ GROUP BY 1,2), " +
+        "bg AS (SELECT o.doc_id, o.w || ' ' || t2.w AS term, greatest(o.prox, coalesce(o2.prox, 0)) AS prox " +
+        "FROM occ o JOIN tk t2 ON t2.doc_id = o.doc_id AND t2.pos = o.pos + 1 " +
+        "LEFT JOIN occ o2 ON o2.doc_id = o.doc_id AND o2.pos = o.pos + 1), " +
+        "pd2 AS (SELECT doc_id, term, max(prox) * 4.0 AS doc_score, 2 AS num_words FROM bg GROUP BY 1,2), " +
+        "ma AS (SELECT term, num_words, sum(doc_score) AS gbscore, count(*) AS num_pages " +
+        "FROM (SELECT * FROM pd1 UNION ALL SELECT * FROM pd2) GROUP BY 1,2) " +
+        "SELECT term, CAST(gbscore * num_pages * num_words / (CASE WHEN num_pages <= 1 THEN 4.0 ELSE 1.0 END) AS DOUBLE) AS gb_score, " +
+        "num_pages, CAST(num_words AS INTEGER) AS num_words " +
         "FROM ma ORDER BY gb_score DESC, num_pages DESC, term ASC LIMIT 20"),
     // q12: min over term pairs of max over occurrence pairs of
     // 100/(dist+1), dist = max(2Δ,2)−2 (+1 out of query order), times

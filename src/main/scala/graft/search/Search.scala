@@ -794,6 +794,27 @@ object Search {
   def searchGigabits(docs: DataFrame, idCol: String, textCol: String,
                      siteCol: String, query: String, k: Int,
                      perSite: Int = 2, topics: Int = 20): DataFrame = {
+    val (_, occ) = gigabitOcc(docs, idCol, textCol, siteCol, query, k, perSite)
+    val perDoc = occ.groupBy(col("doc_id"), col("word"))
+      .agg((max(col("prox")) * lit(4.0)).as("doc_score"))
+
+    val master = perDoc.groupBy(col("word"))
+      .agg(sum(col("doc_score")).as("gbscore"), count(lit(1)).as("num_pages"))
+
+    master.select(col("word").as("term"),
+        (col("gbscore") * col("num_pages") /
+          when(col("num_pages") <= 1, lit(4.0)).otherwise(lit(1.0))).as("gb_score"),
+        col("num_pages"))
+      .orderBy(col("gb_score").desc, col("num_pages").desc, col("term").asc)
+      .limit(topics)
+  }
+
+  /** Shared q10/q15 front half: result-doc tokens and the per-candidate
+    * occurrence proximity scores ((doc_id, pos, word, prox) — only
+    * occurrences within QTR_ZONE_3 of some query match). */
+  private def gigabitOcc(docs: DataFrame, idCol: String, textCol: String,
+                         siteCol: String, query: String, k: Int,
+                         perSite: Int): (DataFrame, DataFrame) = {
     val terms = query.toLowerCase.split(TokenRe).filter(_.nonEmpty).distinct
     require(terms.nonEmpty, "empty query")
     val topk = searchTopK(docs, idCol, textCol, siteCol, query, k, perSite)
@@ -829,16 +850,60 @@ object Search {
       .groupBy(col("doc_id"), col("pos"), col("word"))
       .agg(sum(col("bonus")).as("prox"))
 
-    val perDoc = occ.groupBy(col("doc_id"), col("word"))
-      .agg((max(col("prox")) * lit(4.0)).as("doc_score"))
+    (toks, occ)
+  }
 
-    val master = perDoc.groupBy(col("word"))
+  /** Multi-word gigabits (maxWordsPerTopic = 2): single-word topics AND
+    * adjacent-token bigrams compete in ONE ranking with the reference's
+    * numWords multiplier ("King John on 6 pages should be John on 12" —
+    * gigabitCmp, Msg40.cpp:3459-3461 sa ×= numWords). Bigram rules
+    * distilled from hashExcerpt's phrase walk (Msg40.cpp:4852-5230):
+    * the phrase must START at a QTR-scoring candidate word ("must start
+    * with a QTR-scoring word", :4800); its score is the MAX proxScore
+    * over the phrase's words (wordProxMax, :5206); the next token is
+    * any word (query/common words may ride inside a phrase — only
+    * all-query/common phrases are banned, :5040, which a candidate
+    * first word already precludes); token adjacency stands in for the
+    * punct-bounded walk (split artifacts break phrases exactly where
+    * topicMaxPunctLen would). Overlap removal (topicRemoveOverlaps)
+    * is NOT applied — both "king john" and "john" may list.
+    * Output: (term, gb_score, num_pages, num_words). */
+  def searchGigabitPhrases(docs: DataFrame, idCol: String, textCol: String,
+                           siteCol: String, query: String, k: Int,
+                           perSite: Int = 2, topics: Int = 20): DataFrame = {
+    val (toks, occ) = gigabitOcc(docs, idCol, textCol, siteCol, query, k, perSite)
+
+    val singles = occ.groupBy(col("doc_id"), col("word"))
+      .agg((max(col("prox")) * lit(4.0)).as("doc_score"))
+      .select(col("doc_id"), col("word").as("term"),
+        col("doc_score"), lit(1).as("num_words"))
+
+    // bigram = candidate occurrence + its next token; phrase prox =
+    // max of the two words' prox (a non-candidate second word scores 0)
+    val next = toks.select(col("doc_id").as("n_doc"), col("pos").as("n_pos"),
+      col("word").as("n_word"))
+    val occ2 = occ.select(col("doc_id").as("o2_doc"), col("pos").as("o2_pos"),
+      col("prox").as("o2_prox"))
+    val bigrams = occ
+      .join(next, col("doc_id") === col("n_doc") && col("n_pos") === col("pos") + 1)
+      .join(occ2, col("doc_id") === col("o2_doc") && col("o2_pos") === col("pos") + 1,
+        "left_outer")
+      .select(col("doc_id"),
+        concat(col("word"), lit(" "), col("n_word")).as("term"),
+        greatest(col("prox"), coalesce(col("o2_prox"), lit(0L))).as("prox"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg((max(col("prox")) * lit(4.0)).as("doc_score"))
+      .withColumn("num_words", lit(2))
+      .select(col("doc_id"), col("term"), col("doc_score"), col("num_words"))
+
+    val master = singles.unionByName(bigrams)
+      .groupBy(col("term"), col("num_words"))
       .agg(sum(col("doc_score")).as("gbscore"), count(lit(1)).as("num_pages"))
 
-    master.select(col("word").as("term"),
-        (col("gbscore") * col("num_pages") /
+    master.select(col("term"),
+        (col("gbscore") * col("num_pages") * col("num_words") /
           when(col("num_pages") <= 1, lit(4.0)).otherwise(lit(1.0))).as("gb_score"),
-        col("num_pages"))
+        col("num_pages"), col("num_words").cast("int").as("num_words"))
       .orderBy(col("gb_score").desc, col("num_pages").desc, col("term").asc)
       .limit(topics)
   }

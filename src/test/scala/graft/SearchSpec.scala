@@ -246,6 +246,22 @@ class SearchSpec extends AnyFunSuite {
     assert(r.map(_._1) == Seq("alpha"))
   }
 
+  test("gigabit phrases: bigrams compete with singles under the numWords multiplier (gigabitCmp)") {
+    import spark.implicits._
+    // both docs: table(2000) words(2000) adjacent → bigram "table
+    // words" prox 2000 → per-doc 8000; master ×2 pages ×2 words =
+    // 64000 beats each single's 32000
+    val d = Seq(
+      (1L, "fast spark table words", "a"),
+      (2L, "fast spark table words", "b")).toDF("doc_id", "text", "source")
+    val r = Search.searchGigabitPhrases(d, "doc_id", "text", "source", "fast spark", 10)
+      .as[(String, Double, Long, Int)].collect().toSeq
+    assert(r == Seq(
+      ("table words", 64000.0, 2L, 2),
+      ("table", 32000.0, 2L, 1),
+      ("words", 32000.0, 2L, 1)))
+  }
+
   test("minus terms veto docids without contributing score (Posdb.cpp rmDocIdVotes)") {
     import spark.implicits._
     val d = Seq(
