@@ -1,6 +1,6 @@
 package graft.textops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.GbHash
@@ -39,25 +39,37 @@ object TextOps {
 
   // ------------------------------------------------------- n-gram jaccard
 
+  /** Per-doc DISTINCT word-2-gram shingle ARRAY — r6: the per-doc dedup
+    * is array_distinct inside the row (guide §2.4: the r5 shape paid a
+    * corpus-wide `.distinct()` shuffle for a dedup that is local to one
+    * document; a global distinct on (doc_id, sh) IS the per-doc
+    * distinct, since doc_id is in the key). */
+  private def shingleArr: Column = array_distinct(expr(
+    "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))"))
+
   /** Word 2-gram shingles per doc (distinct). */
-  def shingles(docs: DataFrame, maxDocId: Long): DataFrame = {
-    val words = docs.filter(col("doc_id") < maxDocId)
+  def shingles(docs: DataFrame, maxDocId: Long): DataFrame =
+    docs.filter(col("doc_id") < maxDocId)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-    words.select(col("doc_id"), explode(expr(
-      "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))")).as("sh"))
-      .distinct()
-  }
+      .select(col("doc_id"), explode(shingleArr).as("sh"))
 
   /** Exact n-gram Jaccard pairs: candidate pairs share ≥1 shingle; the
     * equi-join on the shingle key replaces a cross join (scales with
     * shared-shingle volume, not |docs|²). Returns integer intersection /
-    * union sizes (exact, no float compare issues). */
+    * union sizes (exact, no float compare issues). r6: per-doc shingle
+    * sizes are size(array_distinct(...)) row-local (count(*)-equal by
+    * construction, including the null artifact a single-word doc
+    * produces), so the three corpus-wide distinct shuffles of the r5
+    * shape collapse to zero — the only remaining exchanges are the
+    * self-join on the shingle key and its pair aggregate. */
   def ngramJaccardPairs(docs: DataFrame, maxDocId: Long = 200L, minJaccardPct: Int = 50): DataFrame = {
     // no .cache(): the shingle set is recomputed by the self-join sides
     // (cheap column work) instead of pinning executor memory that the
     // caller can never unpersist from a returned lazy DataFrame
     val sh = shingles(docs, maxDocId)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val sizes = docs.filter(col("doc_id") < maxDocId)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), size(shingleArr).cast("long").as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
@@ -131,16 +143,24 @@ object TextOps {
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().persist()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).persist()
+      .withColumn("lbl", col("id"))
+      .withColumn("prev", col("lbl")).persist()
     var changed = 1L
     while (changed > 0) {
-      val next = labels
+      // r6 (guide §2.4): ONE aggregate carries both the new label (min
+      // over the closed neighborhood) and the previous label — each id
+      // contributes its own-label row exactly once, tagged in `prev`,
+      // so max(prev) recovers it — and convergence is read off the
+      // same job. The r5 shape re-joined `next` against `labels` for
+      // the change count: an extra shuffle join + wide lineage per
+      // round, now gone (rounds and results are identical — the
+      // propagation math is unchanged).
+      val next = labels.select(col("id"), col("lbl"), col("lbl").as("prev"))
         .union(edges.join(labels, col("dst") === col("id"))
-          .select(col("src").as("id"), col("lbl")))
-        .groupBy("id").agg(min(col("lbl")).as("lbl"))
+          .select(col("src").as("id"), col("lbl"), lit(null).cast("long").as("prev")))
+        .groupBy("id").agg(min(col("lbl")).as("lbl"), max(col("prev")).as("prev"))
         .persist()
-      changed = next.join(labels.withColumnRenamed("lbl", "prev"), Seq("id"))
-        .filter(col("lbl") =!= col("prev")).count()
+      changed = next.filter(col("lbl") =!= col("prev")).count()
       labels.unpersist()
       labels = next
     }
@@ -168,17 +188,19 @@ object TextOps {
   }
 
   /** SimHash near-dup candidates: 4 16-bit chunks as LSH keys (hamming
-    * distance ≤ 3 ⇒ at least one chunk equal). */
+    * distance ≤ 3 ⇒ at least one chunk equal). r6: the hamming distance
+    * is the codegen'd `bit_count(a ^ b)` built-in instead of a scalar
+    * UDF (guide §4.1 — no SerDe boundary in the pair path; same int
+    * popcount). */
   def simhashCandidates(docs: DataFrame, maxDocId: Long = Long.MaxValue, maxHamming: Int = 3): DataFrame = {
     val sim = udf((t: String) => simhash64(t))
     val hashed = docs.filter(col("doc_id") < maxDocId).select(col("doc_id"), sim(col("text")).as("simhash"))
     val chunked = hashed.select(col("doc_id"), col("simhash"), posexplode(expr(
       "transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)"))).toDF("doc_id", "simhash", "chunk", "ckey")
-    val ham = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        ham(col("a.simhash"), col("b.simhash")).as("hamming"))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -270,15 +292,21 @@ object TextOps {
     val queries = banded.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"), col("band").as("q_band"), col("bkey").as("q_bkey"))
-    // OR-construction: candidate iff ANY band matches; dedup the pair
-    // before the exact cosine so multi-band collisions cost one dot
+    // OR-construction: candidate iff ANY band matches; r6: the exact
+    // cosine is computed BEFORE the pair dedup so the dropDuplicates
+    // exchange moves (q_id, vec_id, cosine) — a few dozen bytes —
+    // instead of two 64-float embeddings per row (guide §2.3 "shuffle
+    // keys and metadata instead of payloads"; a multi-band collision
+    // now costs one extra map-side dot, bounded by the band count, and
+    // the duplicate rows carry identical cosines so the kept row is
+    // unchanged)
     val joined = banded.join(broadcast(queries),
         col("band") === col("q_band") && col("bkey") === col("q_bkey") &&
           col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), col("q_emb"), col("embedding"), col("q_norm"), col("norm"))
-      .dropDuplicates("q_id", "vec_id")
       .withColumn("dot", expr("aggregate(zip_with(embedding, q_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"))
       .withColumn("cosine", col("dot") / (col("norm") * col("q_norm")))
+      .select(col("q_id"), col("vec_id"), col("cosine"))
+      .dropDuplicates("q_id", "vec_id")
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id").asc)
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
