@@ -408,9 +408,19 @@ object Search {
     * (left-semi on the top-k), so the match-window expansion is
     * O(k × doc tokens) — per-result work exactly like the reference's
     * per-result Msg20 fetch, never a corpus scan; the final per-doc
-    * argmax window runs over k docs. (r6: the inner searchTopK now
-    * runs the row-local fold — the per-result tail is unchanged and
-    * was already k-bounded.) Output: (doc_id, rank, summary). */
+    * argmax window runs over k docs.
+    *
+    * r6 shape: the anchor scan, window scoring, per-doc argmax and
+    * snippet render are ONE row-local fold over a result doc's token
+    * array (all-integer window math, so the fold is bit-identical to
+    * the r5 join/aggregate chain): anchors ascend, the running best
+    * is replaced only on a STRICTLY greater score — exactly the
+    * earliest-wins tie-break — and the snippet slices the winner's
+    * window off the same array. The r5 tail's six shuffles (match ×
+    * token window join, two termScores aggregates, the n_toks
+    * aggregate + join, the per-doc rank window, the collect_list
+    * snippet aggregate) collapse into two broadcast joins against the
+    * k-row top-k. Output: (doc_id, rank, summary). */
   def searchSummaries(docs: DataFrame, idCol: String, textCol: String,
                       siteCol: String, query: String, k: Int,
                       perSite: Int = 2, windowTokens: Int = 20,
@@ -420,63 +430,59 @@ object Search {
     val topk = searchTopK(docs, idCol, textCol, siteCol, query, k, perSite)
       .select(col("doc_id").as("top_doc"), col("rank"))
 
-    val toks = docs
-      .join(topk, col(idCol) === col("top_doc"), "left_semi")
-      .select(col(idCol).as("doc_id"),
-        posexplode(split(lower(col(textCol)), TokenRe)).as(Seq("pos", "word")))
-      .filter(col("word") =!= "")
+    // window [a, a+W) over ORIGINAL split slots; only nonempty tokens
+    // count (and render) — slice keeps the slots, the filter drops the
+    // split artifacts, exactly the r5 `toks` convention
+    def winOf(a: Column): Column =
+      filter(slice(col("ws"), a + lit(1), lit(windowTokens)), x => x =!= "")
 
-    val matches = toks.filter(col("word").isInCollection(terms.toSeq))
-      .select(col("doc_id").as("m_doc"), col("pos").as("a"))
+    // per-window score: term score 100000 + (cnt-1)·(100000/15) for
+    // each PRESENT query term; a matched word's 100000 REPLACES its
+    // per-word 100 ("undo old score", Summary.cpp:937) — only
+    // non-match tokens earn the 100
+    def wScoreOf(a: Column): Column = {
+      val win = winOf(a)
+      val cnts = terms.map(t => size(filter(win, x => x === lit(t))).cast("long"))
+      val matchScore = cnts.map(c =>
+        when(c > 0, lit(100000L) + (c - 1) * lit(100000L / 15)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val nMatch = cnts.reduce(_ + _)
+      matchScore + lit(100L) * (size(win).cast("long") - nMatch)
+    }
 
-    // window [a, a+W): per (doc, a, term) occurrence counts → term
-    // score 100000 + (cnt-1) * (100000/15); + 100 per window token
-    val win = matches.join(toks,
-      col("doc_id") === col("m_doc") &&
-        col("pos") >= col("a") && col("pos") < col("a") + windowTokens)
-    val termScores = win.filter(col("word").isInCollection(terms.toSeq))
-      .groupBy(col("m_doc"), col("a"), col("word"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(col("m_doc"), col("a"))
-      .agg(sum(lit(100000L) + (col("cnt") - 1) * lit(100000L / 15)).as("match_score"),
-        sum(col("cnt")).as("n_match"))
-    // a matched word's 100000 REPLACES its per-word 100 ("undo old
-    // score", Summary.cpp:937) — only non-match tokens earn the 100
-    val scored = win.groupBy(col("m_doc"), col("a"))
-      .agg(count(lit(1)).as("n_toks"))
-      .join(termScores, Seq("m_doc", "a"))
-      .select(col("m_doc"), col("a"),
-        (col("match_score") + lit(100L) * (col("n_toks") - col("n_match"))).as("w_score"))
-
-    // winner window per doc: score desc, earliest a on ties — a
-    // k-doc-bounded window, the per-result Msg20 analogue
-    val wDoc = Window.partitionBy(col("m_doc"))
-      .orderBy(col("w_score").desc, col("a").asc)
-    val best = scored.withColumn("wr", row_number().over(wDoc))
-      .filter(col("wr") === 1).select(col("m_doc"), col("a"))
+    // anchors ascend; replace only on score > best — earliest wins
+    // ties (Summary.cpp:404 takes a new winner only on score > max)
+    val anchors = filter(
+      transform(col("ws"), (x, i) =>
+        when(x.isInCollection(terms.toSeq), i).otherwise(lit(-1))),
+      p => p >= 0)
+    val best = aggregate(anchors,
+      struct(lit(Long.MinValue).as("s"), lit(-1).as("a")),
+      (acc, a) => {
+        val sc = wScoreOf(a)
+        when(sc > acc.getField("s"), struct(sc.as("s"), a.as("a"))).otherwise(acc)
+      })
 
     // Highlight.cpp:280-306 wraps every match in the per-query-term
     // color span s_frontTags[colorNum % 10] ... "</span>"
     // (Highlight.cpp:24-33, :211); colorNum is the term's index in the
     // query. The slice highlights within the summary snippet only
     // (the reference also highlights cached pages; same loop).
-    val displayWord =
-      if (!highlight) col("word")
-      else terms.zipWithIndex.foldLeft(col("word")) { case (acc, (t, i)) =>
-        when(col("word") === t,
+    def displayWord(w: Column): Column =
+      if (!highlight) w
+      else terms.zipWithIndex.foldLeft(w) { case (acc, (t, i)) =>
+        when(w === lit(t),
           concat(lit(f"""<span class="gbcnst gbcnst${i % 10}%02d">"""),
-            col("word"), lit("</span>"))).otherwise(acc)
+            w, lit("</span>"))).otherwise(acc)
       }
-    val snippet = best.join(toks,
-        col("doc_id") === col("m_doc") &&
-          col("pos") >= col("a") && col("pos") < col("a") + windowTokens)
-      .groupBy(col("m_doc"))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("pos"), displayWord.as("word")))),
-        s => s.getField("word")), " ").as("summary"))
+    val snippet = array_join(
+      transform(winOf(best.getField("a")), w => displayWord(w)), " ")
 
-    topk.join(snippet, col("top_doc") === col("m_doc"))
-      .select(col("top_doc").as("doc_id"), col("rank"), col("summary"))
+    docs.join(topk, col(idCol) === col("top_doc"), "left_semi")
+      .select(col(idCol).as("doc_id"), toks(textCol).as("ws"))
+      .select(col("doc_id"), snippet.as("summary"))
+      .join(topk, col("doc_id") === col("top_doc"))
+      .select(col("doc_id"), col("rank"), col("summary"))
       .orderBy(col("rank").asc)
   }
 
@@ -828,7 +834,16 @@ object Search {
 
   /** Shared q10/q15 front half: result-doc tokens and the per-candidate
     * occurrence proximity scores ((doc_id, pos, word, prox) — only
-    * occurrences within QTR_ZONE_3 of some query match). */
+    * occurrences within QTR_ZONE_3 of some query match).
+    *
+    * r6 shape: the nearest-match distances are per-document — for a
+    * candidate occurrence at slot i, d(term) = min |i − matchpos| over
+    * that term's own positions in the SAME doc — so the r5 candidate ×
+    * match join and its two hash-aggregates fold into one array
+    * program per result doc (the hashExcerpt posPtr walk, literally):
+    * per token, sum the QTR zone bonus over query terms with d < 20,
+    * keep candidates with prox > 0. Only the occ explode (bounded by
+    * the k result docs' tokens) remains. */
   private def gigabitOcc(docs: DataFrame, idCol: String, textCol: String,
                          siteCol: String, query: String, k: Int,
                          perSite: Int): (DataFrame, DataFrame) = {
@@ -837,37 +852,42 @@ object Search {
     val topk = searchTopK(docs, idCol, textCol, siteCol, query, k, perSite)
       .select(col("doc_id").as("top_doc"))
 
-    val toks = docs
+    val docsTok = docs
       .join(topk, col(idCol) === col("top_doc"), "left_semi")
-      .select(col(idCol).as("doc_id"),
-        posexplode(split(lower(col(textCol)), TokenRe)).as(Seq("pos", "word")))
+      .select(col(idCol).as("doc_id"), toks(textCol).as("ws"))
+
+    val toks2 = docsTok
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "word")))
       .filter(col("word") =!= "")
 
-    val matches = toks.filter(col("word").isInCollection(terms.toSeq))
-      .select(col("doc_id").as("m_doc"), col("word").as("m_term"),
-        col("pos").as("m_pos"))
+    // QTR zone bonus off the nearest match of ONE query term
+    def bonus(d: Column): Column =
+      when(d < 4, 1000L).when(d < 8, 800L).when(d < 12, 500L)
+        .when(d < 20, 200L).otherwise(lit(0L))
+    // Σ over query terms of bonus(min |i − matchpos|) — a term with no
+    // match in range (or none at all: array_min(null-ish) → null when
+    // chain → 0) contributes nothing, like the r5 d < 20 filter
+    def proxOf(i: Column): Column =
+      terms.map { t =>
+        bonus(array_min(transform(positionsOf(col("ws"), t), m => abs(i - m))))
+      }.reduce(_ + _)
+    val candOk = (w: Column) =>
+      length(w) >= 4 && !w.isInCollection(terms.toSeq) &&
+        !w.isInCollection(graft.textops.TextOps.stopwords) &&
+        !w.endsWith("ed") && !w.endsWith("ing")
 
-    val cands = toks
-      .filter(length(col("word")) >= 4)
-      .filter(!col("word").isInCollection(terms.toSeq))
-      .filter(!col("word").isInCollection(graft.textops.TextOps.stopwords))
-      .filter(!col("word").endsWith("ed") && !col("word").endsWith("ing"))
+    val occArr = filter(
+      transform(col("ws"), (w, i) =>
+        struct(i.as("pos"), w.as("word"),
+          when(candOk(w), proxOf(i)).otherwise(lit(0L)).as("prox"))),
+      s => s.getField("prox") > 0)
 
-    // nearest-match distance per (occurrence, query term) — the
-    // hashExcerpt posPtr walk computes exactly min |i − matchpos|
-    val nearest = cands.join(matches, col("doc_id") === col("m_doc"))
-      .groupBy(col("doc_id"), col("pos"), col("word"), col("m_term"))
-      .agg(min(abs(col("pos") - col("m_pos"))).as("d"))
-      .filter(col("d") < 20)
+    val occ = docsTok
+      .select(col("doc_id"), explode(occArr).as("o"))
+      .select(col("doc_id"), col("o.pos").as("pos"),
+        col("o.word").as("word"), col("o.prox").as("prox"))
 
-    val occ = nearest
-      .select(col("doc_id"), col("pos"), col("word"),
-        when(col("d") < 4, 1000L).when(col("d") < 8, 800L)
-          .when(col("d") < 12, 500L).otherwise(200L).as("bonus"))
-      .groupBy(col("doc_id"), col("pos"), col("word"))
-      .agg(sum(col("bonus")).as("prox"))
-
-    (toks, occ)
+    (toks2, occ)
   }
 
   /** Multi-word gigabits (maxWordsPerTopic = 2): single words and
