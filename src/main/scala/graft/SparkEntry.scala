@@ -142,9 +142,13 @@ object SparkEntry {
         .filter(col("rn") === 1).select(col("user_id"), col("event_id"))
     }),
     "j2_seen_antijoin" -> ((s, d) => {
-      // URL-seen anti-join shape (J2): customers never seen in events
+      // URL-seen anti-join shape (J2): customers never seen in events.
+      // r6: no pre-distinct on the events side — anti-join semantics
+      // ignore key multiplicity and the broadcast hash build dedups
+      // keys itself, so the distinct's exchange + two aggregates
+      // bought nothing (identical rows by construction)
       val c = read(s, d, "customer")
-      val e = read(s, d, "events").select(col("user_id").as("c_custkey")).distinct()
+      val e = read(s, d, "events").select(col("user_id").as("c_custkey"))
       c.join(e, Seq("c_custkey"), "left_anti").select("c_custkey")
     }),
     "j3_dedup_merge" -> ((s, d) => {

@@ -138,13 +138,43 @@ object TextOps {
     * Input: (doc_a, doc_b); output: (doc_id, cluster_id) for every doc
     * appearing in a pair, cluster_id = min doc_id of its component. */
   def dupClusters(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().persist()
-    var labels = edges.select(col("src").as("id")).distinct()
+    // materialize the edge cache once and read its size: the loop's
+    // session and partitioning are sized from it (scale-adaptive, not
+    // a constant — guide §2). A bounded scalar action, like the
+    // crawl's per-partition tally.
+    val nEdges = edges.count()
+    // micro graphs: run the per-round propagation through an AQE-off
+    // sibling session with edge-count-derived shuffle partitions —
+    // under AQE every query-stage materialization is its own Spark
+    // job, which triples the per-round job count on a graph whose
+    // rounds take milliseconds (the Crawl stage-2 quiet-writes trick;
+    // same SparkContext, same cache, byte-equivalent output — AQE
+    // only re-plans). Big edge lists keep AQE: skew-join splitting
+    // and partition coalescing are the 100×-scale story there.
+    val quiet: SparkSession =
+      if (nEdges >= 1000000L ||
+        spark.conf.get("spark.sql.adaptive.enabled", "true") == "false") spark
+      else {
+        val q = spark.newSession()
+        spark.conf.getAll.foreach { case (k, v) =>
+          try q.conf.set(k, v) catch { case _: Throwable => () }
+        }
+        q.conf.set("spark.sql.adaptive.enabled", "false")
+        q.conf.set("spark.sql.shuffle.partitions",
+          math.max(1L, nEdges / 50000L).toString)
+        q
+      }
+    def onQuiet(df: DataFrame): DataFrame =
+      if (quiet eq spark) df
+      else org.apache.spark.sql.GraftShim.onSession(quiet, df)
+    var labels = onQuiet(edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
-      .withColumn("prev", col("lbl")).persist()
+      .withColumn("prev", col("lbl"))).persist()
     var changed = 1L
     while (changed > 0) {
       // r6 (guide §2.4): ONE aggregate carries both the new label (min
@@ -155,10 +185,10 @@ object TextOps {
       // the change count: an extra shuffle join + wide lineage per
       // round, now gone (rounds and results are identical — the
       // propagation math is unchanged).
-      val next = labels.select(col("id"), col("lbl"), col("lbl").as("prev"))
+      val next = onQuiet(labels.select(col("id"), col("lbl"), col("lbl").as("prev"))
         .union(edges.join(labels, col("dst") === col("id"))
           .select(col("src").as("id"), col("lbl"), lit(null).cast("long").as("prev")))
-        .groupBy("id").agg(min(col("lbl")).as("lbl"), max(col("prev")).as("prev"))
+        .groupBy("id").agg(min(col("lbl")).as("lbl"), max(col("prev")).as("prev")))
         .persist()
       changed = next.filter(col("lbl") =!= col("prev")).count()
       labels.unpersist()
