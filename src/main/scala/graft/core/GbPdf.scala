@@ -39,7 +39,13 @@ object GbPdf {
     while (from < s.length) {
       val si = s.indexOf("stream", from)
       if (si < 0) { from = s.length }
-      else {
+      else if (si > 0 && !(s.charAt(si - 1).isWhitespace || s.charAt(si - 1) == '>')) {
+        // keyword boundary: `stream` must follow the dict (`>>`) or
+        // whitespace — the bare substring also occurs inside
+        // `endstream`, names and string text, which would misalign
+        // every following segment
+        from = si + "stream".length
+      } else {
         // dict immediately before the `stream` keyword decides the filter
         val dictStart = s.lastIndexOf("<<", si)
         val dict = if (dictStart >= 0) s.substring(dictStart, si) else ""
@@ -47,7 +53,10 @@ object GbPdf {
         var ds = si + "stream".length
         if (ds < s.length && s.charAt(ds) == '\r') ds += 1
         if (ds < s.length && s.charAt(ds) == '\n') ds += 1
-        val de = s.indexOf("endstream", ds)
+        // prefer a CONSISTENT declared /Length (binary Flate bodies can
+        // contain the `endstream` bytes, which would truncate the
+        // segment); a wrong or indirect /Length falls back to the scan
+        val de = declaredEnd(s, dict, ds).getOrElse(s.indexOf("endstream", ds))
         if (de < 0) { from = s.length }
         else {
           val flate = dict.contains("/FlateDecode")
@@ -75,17 +84,47 @@ object GbPdf {
     toHtml(if (pdf == null) null
       else pdf.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
 
+  /** `/Length n` direct value whose end lands exactly on `endstream`
+    * (after the optional EOL the spec allows before the keyword);
+    * None when absent, indirect, or inconsistent. */
+  private val LengthRe = "/Length\\s+(\\d+)(\\s+\\d+\\s+R)?".r
+  private def declaredEnd(s: String, dict: String, ds: Int): Option[Int] =
+    LengthRe.findFirstMatchIn(dict)
+      .filter(_.group(2) == null) // `n 0 R` is an indirect reference
+      .flatMap { m =>
+      val end = ds.toLong + m.group(1).toLong
+      if (end > s.length) None
+      else {
+        var e = end.toInt
+        if (e < s.length && s.charAt(e) == '\r') e += 1
+        if (e < s.length && s.charAt(e) == '\n') e += 1
+        if (s.startsWith("endstream", e)) Some(e) else None
+      }
+    }
+
+  /** Hard cap on decompressed stream size: crawled/WARC PDFs are
+    * untrusted, and a small FlateDecode bomb otherwise expands to
+    * gigabytes in executor memory — the reference is insulated by
+    * running conversion in an external pdftohtml process; here the
+    * oversized stream is treated as undecodable (null), like any
+    * other corrupt input. 256× the compressed size (legit text
+    * streams compress ~5-20×) with a 64 MiB floor for tiny inputs. */
+  private def inflateCap(rawLen: Int): Long =
+    math.max(64L << 20, 256L * rawLen)
+
   /** Inflate tolerant of a wrong /Length and trailing garbage; null on
-    * undecodable input. */
+    * undecodable or cap-exceeding input. */
   private def inflate(raw: Array[Byte]): Array[Byte] = {
     val inf = new Inflater()
+    val cap = inflateCap(raw.length)
     try {
       inf.setInput(raw)
       val out = new java.io.ByteArrayOutputStream(raw.length * 4 + 64)
       val buf = new Array[Byte](8192)
       var n = inf.inflate(buf)
-      while (n > 0) { out.write(buf, 0, n); n = inf.inflate(buf) }
-      if (out.size() == 0) null else out.toByteArray
+      while (n > 0 && out.size() <= cap) { out.write(buf, 0, n); n = inf.inflate(buf) }
+      if (out.size() > cap) null
+      else if (out.size() == 0) null else out.toByteArray
     } catch { case _: Exception => null } finally inf.end()
   }
 

@@ -511,7 +511,10 @@ object Search {
           case "AND" | "OR" => op = rest.head; rest = rest.tail
           case _ =>
             var notted = false
-            while (rest.nonEmpty && rest.head == "NOT") { notted = !notted; rest = rest.tail }
+            // a run of NOTs sets hasNot once, it does not toggle —
+            // isTruth treats `NOT NOT a` as `NOT a` (Query.cpp:5555
+            // only ever sets hasNot=true per operand)
+            while (rest.nonEmpty && rest.head == "NOT") { notted = true; rest = rest.tail }
             require(rest.nonEmpty && rest.head != ")", s"dangling NOT in '$q'")
             val item: BItem =
               if (rest.head == "(") {
@@ -805,8 +808,10 @@ object Search {
     *    (hashGigabitSample, Msg40.cpp:4236-4243: m_numPages++,
     *    m_gbscore +=, m_lastDocId guard)
     *  - final rank = gbscore × numPages (× numWords = 1 for single
-    *    words), ÷4 when on a single page; ties numPages desc then
-    *    term asc (gigabitCmp, Msg40.cpp:3452-3472).
+    *    words), ÷4 when on a single page; ties numPages desc
+    *    (gigabitCmp, Msg40.cpp:3452-3472), then term asc — a slice
+    *    stand-in for the reference's termLen-ascending last tiebreak
+    *    (:3470), kept because the oracle pins lexicographic order.
     *
     * Scale shape: every stage after searchTopK touches tokens of the
     * k result docs only (left-semi on the top-k) — the candidate ×

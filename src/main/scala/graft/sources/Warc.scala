@@ -140,7 +140,9 @@ object Warc {
                 val conv = graft.core.GbPdf.toHtml(r.body)
                 if (conv != null)
                   GbXml.extractText(conv.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-                else GbXml.extractText(utf8)
+                else "" // unconvertible (image-only) PDF: index nothing,
+                        // the reference's empty-filter-output fate —
+                        // never tokenize raw PDF bytes as text
               } else GbXml.extractText(utf8)
             PageRow(url, ts, r.body, text, "", r.charset,
               if (isPdf) "application/pdf" else "")
