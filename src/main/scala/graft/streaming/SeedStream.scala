@@ -46,9 +46,15 @@ object SeedStream {
         import batch.sparkSession.implicits._
         // the micro-batch Dataset goes straight into the injection core
         // (delta append + bloom superset update) — NO driver-side
-        // collect; at scale a batch can be millions of urls
+        // collect; at scale a batch can be millions of urls. The flag
+        // rewrite is a column expression, not a typed map: a closure
+        // here would deserialize + re-serialize every row of the batch
+        // just to OR two bits (guide §4 — no Scala closures in the hot
+        // path when a codegen expression does the job).
         Crawl.injectRequests(spark, workdir,
-          batch.map(r => r.copy(flags = (r.flags | Flags.IsInjecting) & ~Flags.IsAddUrl)), cfg)
+          batch.withColumn("flags",
+            col("flags").bitwiseOR(lit(Flags.IsInjecting))
+              .bitwiseAND(lit(~Flags.IsAddUrl))).as[FrontierRequest], cfg)
         ()
       }
       .start()
