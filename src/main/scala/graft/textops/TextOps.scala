@@ -231,8 +231,11 @@ object TextOps {
         col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
+      // hamming is deterministic per pair, so filtering before the
+      // dedup keeps the identical pair set while the distinct's
+      // exchange moves only rows that survive the threshold
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   // ------------------------------------------------------ similarity search
@@ -395,16 +398,23 @@ object TextOps {
     val banded = withSig.select(col("vec_id"), col("embedding"), col("norm"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> shiftright(sig, b * $r) & $mask)")))
       .toDF("vec_id", "embedding", "norm", "band", "bkey")
+    // r6 (guide §2.3): the exact-verify dot and threshold run BEFORE
+    // the pair dedup, so the dropDuplicates exchange carries only the
+    // 16-byte id pairs of SURVIVING near-dups instead of two 64-float
+    // embeddings per candidate. A multi-band collision pays one extra
+    // map-side dot (bounded by the band count); duplicates of a pair
+    // carry identical dots, so they pass or fail the threshold
+    // together and the surviving pair set is unchanged.
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.embedding").as("ea"), col("b.embedding").as("eb"),
         col("a.norm").as("na"), col("b.norm").as("nb"))
-      .dropDuplicates("vec_a", "vec_b") // same pair from several bands
       .withColumn("dot", expr("aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"))
       .filter(col("dot") >= lit(minCosPct / 100.0) * col("na") * col("nb"))
       .select(col("vec_a"), col("vec_b"))
+      .dropDuplicates("vec_a", "vec_b") // same pair from several bands
   }
 
   // ------------------------------------------------------------ text stats
