@@ -3,8 +3,9 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.core.{GbHash, GbUrl, GbXml}
@@ -22,6 +23,28 @@ object Native {
   def extractText(html: Array[Byte]): UTF8String = UTF8String.fromBytes(GbXml.extractTextBytes(html))
   /** hash32 of the url's tagdb key (SiteGetter site; Tagdb.cpp:2597-2623). */
   def siteKeyHash32(s: UTF8String): Int = graft.core.SiteGetter.siteHash32(s.toString)
+  // r6 textops kernels (guide §4.1: the per-row dedup/ANN functions ran
+  // as scalar ScalaUDFs — every row paid the catalyst↔Scala converter
+  // round-trip; these static entry points let whole-stage codegen call
+  // the same loops directly)
+  def simhash64(s: UTF8String): Long = graft.textops.TextOps.simhash64(s.toString)
+  def fingerprint64(s: UTF8String): Long = graft.textops.TextOps.fingerprint(s.toString)
+  def langId(s: UTF8String): UTF8String = UTF8String.fromString(graft.textops.TextOps.langIdOf(s.toString))
+  def minhashSig(s: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(graft.textops.TextOps.minhashSigOf(s.toString, n))
+  def planeSig(v: ArrayData, nPlanes: Int, dim: Int): Int =
+    graft.textops.TextOps.planeSigOf(v, nPlanes, dim)
+  /** Float-vector dot product in double precision, summed in index
+    * order — bit-identical to the former
+    * `aggregate(zip_with(a, b, (x, y) -> double(x)*double(y)), 0.0, +)`
+    * on equal-length inputs (the embeddings schema is fixed-dim). */
+  def vdot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
 }
 
 /** Native Catalyst expressions for the engine's scalar kernel functions
@@ -83,6 +106,58 @@ case class SiteKeyHash32Expr(child: Expression) extends GraftUnary {
   override protected def nullSafeEval(in: Any): Any = Native.siteKeyHash32(in.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
+case class Simhash64Expr(child: Expression) extends GraftUnary {
+  protected def fnName = "simhash64"; protected def javaCall = "simhash64"; protected def dt = LongType
+  override protected def nullSafeEval(in: Any): Any = Native.simhash64(in.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+case class Fingerprint64Expr(child: Expression) extends GraftUnary {
+  protected def fnName = "fingerprint64"; protected def javaCall = "fingerprint64"; protected def dt = LongType
+  override protected def nullSafeEval(in: Any): Any = Native.fingerprint64(in.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+case class LangIdExpr(child: Expression) extends GraftUnary {
+  protected def fnName = "lang_id"; protected def javaCall = "langId"; protected def dt = StringType
+  override protected def nullSafeEval(in: Any): Any = Native.langId(in.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+/** MinHash signature over word-2-gram shingles (n hashes). The hash
+  * count is a plan-time constant baked into the generated call — the
+  * expression stays fully codegen'd despite the extra parameter. */
+case class MinhashSigExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override protected def nullSafeEval(in: Any): Any = Native.minhashSig(in.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Native.minhashSig($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+/** Sign-LSH hyperplane signature of a float embedding. Planes are a
+  * pure function of (nPlanes, dim) (TextOps.planesFor: deterministic
+  * SplitMix64 Box-Muller), so each JVM derives them locally from the
+  * baked-in constants — no broadcast, no closure capture. */
+case class PlaneSigExpr(child: Expression, nPlanes: Int, dim: Int) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "plane_sig"
+  override protected def nullSafeEval(in: Any): Any =
+    Native.planeSig(in.asInstanceOf[ArrayData], nPlanes, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Native.planeSig($c, $nPlanes, $dim)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+/** Dot product of two float vectors in double precision (see
+  * Native.vdot for the equivalence argument vs the aggregate/zip_with
+  * form it replaces). */
+case class VDotExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vdot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Native.vdot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Native.vdot($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
 case class ExtractTextExpr(child: Expression) extends GraftUnary {
   protected def fnName = "extract_text"; protected def javaCall = "extractText"; protected def dt = StringType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -105,6 +180,12 @@ object GraftFunctions {
   def fakeFirstIp(c: Column): Column = column(FakeFirstIpExpr(expression(c)))
   def extractText(c: Column): Column = column(ExtractTextExpr(expression(c)))
   def siteKeyHash32(c: Column): Column = column(SiteKeyHash32Expr(expression(c)))
+  def simhash64(c: Column): Column = column(Simhash64Expr(expression(c)))
+  def fingerprint64(c: Column): Column = column(Fingerprint64Expr(expression(c)))
+  def langId(c: Column): Column = column(LangIdExpr(expression(c)))
+  def minhashSig(c: Column, n: Int): Column = column(MinhashSigExpr(expression(c), n))
+  def planeSig(c: Column, nPlanes: Int, dim: Int): Column = column(PlaneSigExpr(expression(c), nPlanes, dim))
+  def vdot(a: Column, b: Column): Column = column(VDotExpr(expression(a), expression(b)))
 
   private val fns: Seq[(String, Expression => Expression)] = Seq(
     "uh48" -> (Uh48Expr(_)),

@@ -84,27 +84,31 @@ object TextOps {
   // --------------------------------------------------------- minhash + lsh
 
   /** MinHash signatures over word-2-gram shingles using the engine's
-    * tabulation hash family: h_i(s) = hash64h(seed_i, hash64(s)). */
-  def minhashSignatures(docs: DataFrame, numHashes: Int, maxDocId: Long = Long.MaxValue): DataFrame = {
-    val n = numHashes
-    val sigUdf = udf((text: String) => {
-      val words = text.split(' ')
-      val sig = Array.fill(n)(Long.MaxValue)
-      var i = 0
-      while (i < words.length - 1) {
-        val h0 = GbHash.hash64(words(i) + " " + words(i + 1))
-        var k = 0
-        while (k < n) {
-          val h = GbHash.hash64h(k.toLong * 0x9e3779b97f4a7c15L, h0)
-          if (h < sig(k)) sig(k) = h
-          k += 1
-        }
-        i += 1
-      }
-      sig
-    })
+    * tabulation hash family: h_i(s) = hash64h(seed_i, hash64(s)).
+    * r6: the signature is the codegen'd [[graft.functions.MinhashSigExpr]]
+    * instead of a scalar UDF — the minhash stage (the dedup_clusters
+    * floor) no longer pays the catalyst↔Scala converter round-trip per
+    * row (guide §4.1); same loop, same values ([[minhashSigOf]]). */
+  def minhashSignatures(docs: DataFrame, numHashes: Int, maxDocId: Long = Long.MaxValue): DataFrame =
     docs.filter(col("doc_id") < maxDocId)
-      .select(col("doc_id"), sigUdf(col("text")).as("sig"))
+      .select(col("doc_id"), graft.functions.GraftFunctions.minhashSig(col("text"), numHashes).as("sig"))
+
+  /** The per-doc minhash kernel (pure; called from the generated code). */
+  private[graft] def minhashSigOf(text: String, n: Int): Array[Long] = {
+    val words = text.split(' ')
+    val sig = Array.fill(n)(Long.MaxValue)
+    var i = 0
+    while (i < words.length - 1) {
+      val h0 = GbHash.hash64(words(i) + " " + words(i + 1))
+      var k = 0
+      while (k < n) {
+        val h = GbHash.hash64h(k.toLong * 0x9e3779b97f4a7c15L, h0)
+        if (h < sig(k)) sig(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    sig
   }
 
   /** LSH banding: split the signature into `bands` bands of r rows; docs
@@ -223,8 +227,10 @@ object TextOps {
     * UDF (guide §4.1 — no SerDe boundary in the pair path; same int
     * popcount). */
   def simhashCandidates(docs: DataFrame, maxDocId: Long = Long.MaxValue, maxHamming: Int = 3): DataFrame = {
-    val sim = udf((t: String) => simhash64(t))
-    val hashed = docs.filter(col("doc_id") < maxDocId).select(col("doc_id"), sim(col("text")).as("simhash"))
+    // r6 (guide §4.1): simhash via the codegen'd Simhash64Expr (same
+    // simhash64 loop, no UDF SerDe in the signature pass)
+    val hashed = docs.filter(col("doc_id") < maxDocId)
+      .select(col("doc_id"), graft.functions.GraftFunctions.simhash64(col("text")).as("simhash"))
     val chunked = hashed.select(col("doc_id"), col("simhash"), posexplode(expr(
       "transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)"))).toDF("doc_id", "simhash", "chunk", "ckey")
     chunked.as("a").join(chunked.as("b"),
@@ -240,17 +246,21 @@ object TextOps {
 
   // ------------------------------------------------------ similarity search
 
-  /** Brute-force cosine top-k: queries broadcast against the corpus;
-    * dot products via the codegen'd higher-order `aggregate`/`zip_with`
-    * functions, no UDF in the hot path. */
+  /** Brute-force cosine top-k: queries broadcast against the corpus.
+    * r6 (guide §4.1): dots/norms via the codegen'd [[graft.functions.VDotExpr]]
+    * — Spark's higher-order `aggregate`/`zip_with` are CodegenFallback
+    * and box every float element through their lambda variables; the
+    * native expression runs the same double-precision index-order sum
+    * (bit-identical on the fixed-dim embeddings) with no per-element
+    * allocation. */
   def cosineTopK(emb: DataFrame, nQueries: Int = 20, k: Int = 5): DataFrame = {
-    val withNorm = emb.withColumn("norm",
-      sqrt(expr("aggregate(embedding, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
+    import graft.functions.GraftFunctions.vdot
+    val withNorm = emb.withColumn("norm", sqrt(vdot(col("embedding"), col("embedding"))))
     val queries = withNorm.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
     val joined = withNorm.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("dot", expr("aggregate(zip_with(embedding, q_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"))
+      .withColumn("dot", vdot(col("embedding"), col("q_emb")))
       .withColumn("cosine", col("dot") / (col("norm") * col("q_norm")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id").asc)
     joined.withColumn("rank", row_number().over(w))
@@ -285,6 +295,35 @@ object TextOps {
       }
     }
 
+  /** Planes are a pure deterministic function of (nPlanes, dim), so
+    * every JVM derives them locally once (cached) — the broadcast the
+    * r5 UDF shape carried is gone from the plan entirely. */
+  private val planesCache = new java.util.concurrent.ConcurrentHashMap[Long, Array[Array[Double]]]()
+  private[graft] def planesFor(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    planesCache.computeIfAbsent((nPlanes.toLong << 32) | dim.toLong,
+      _ => gaussianPlanes(nPlanes, dim))
+
+  /** Sign-LSH signature kernel (pure; called from the generated code of
+    * [[graft.functions.PlaneSigExpr]]). Reads the catalyst float array
+    * directly — the r5 UDF converted every embedding to a boxed
+    * Seq[Float] per row before the same loop. */
+  private[graft] def planeSigOf(v: org.apache.spark.sql.catalyst.util.ArrayData,
+                                nPlanes: Int, dim: Int): Int = {
+    val ps = planesFor(nPlanes, dim)
+    var sig = 0
+    var p = 0
+    val vn = v.numElements()
+    while (p < ps.length) {
+      var dot = 0.0
+      var d = 0
+      val lim = math.min(vn, ps(p).length)
+      while (d < lim) { dot += v.getFloat(d) * ps(p)(d); d += 1 }
+      if (dot >= 0) sig |= (1 << p)
+      p += 1
+    }
+    sig
+  }
+
   /** LSH-bucketed ANN (the 100 TB path): banded random-hyperplane
     * OR-construction — a vector is a candidate for a query iff they
     * share at least one band of the sign signature; candidates (and
@@ -297,28 +336,15 @@ object TextOps {
     * buckets hold <1 vector on average.) */
   def lshCosineTopK(emb: DataFrame, nQueries: Int = 20, k: Int = 5,
                     nPlanes: Int = 24, bands: Int = 8, dim: Int = 64): DataFrame = {
-    val planes = gaussianPlanes(nPlanes, dim)
-    val spark = emb.sparkSession
-    val planesB = spark.sparkContext.broadcast(planes)
-    val sigU = udf((v: Seq[Float]) => {
-      val ps = planesB.value
-      var sig = 0
-      var p = 0
-      while (p < ps.length) {
-        var dot = 0.0
-        var d = 0
-        val lim = math.min(v.length, ps(p).length)
-        while (d < lim) { dot += v(d) * ps(p)(d); d += 1 }
-        if (dot >= 0) sig |= (1 << p)
-        p += 1
-      }
-      sig
-    })
+    // r6 (guide §4.1): signature + norms via codegen'd native
+    // expressions (PlaneSigExpr / VDotExpr) — no UDF SerDe, no
+    // Seq[Float] boxing, no plane broadcast (planes derive from the
+    // plan constants per JVM); identical signatures and cosines.
+    import graft.functions.GraftFunctions.{planeSig, vdot}
     val r = nPlanes / bands
     val mask = (1 << r) - 1
-    val withSig = emb.withColumn("sig", sigU(col("embedding")))
-      .withColumn("norm",
-        sqrt(expr("aggregate(embedding, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
+    val withSig = emb.withColumn("sig", planeSig(col("embedding"), nPlanes, dim))
+      .withColumn("norm", sqrt(vdot(col("embedding"), col("embedding"))))
     val bandsOf = expr(s"transform(sequence(0, ${bands - 1}), b -> shiftright(sig, b * $r) & $mask)")
     val banded = withSig.select(col("vec_id"), col("embedding"), col("norm"),
         posexplode(bandsOf)).toDF("vec_id", "embedding", "norm", "band", "bkey")
@@ -336,7 +362,7 @@ object TextOps {
     val joined = banded.join(broadcast(queries),
         col("band") === col("q_band") && col("bkey") === col("q_bkey") &&
           col("vec_id") =!= col("q_id"))
-      .withColumn("dot", expr("aggregate(zip_with(embedding, q_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"))
+      .withColumn("dot", vdot(col("embedding"), col("q_emb")))
       .withColumn("cosine", col("dot") / (col("norm") * col("q_norm")))
       .select(col("q_id"), col("vec_id"), col("cosine"))
       .dropDuplicates("q_id", "vec_id")
@@ -354,11 +380,11 @@ object TextOps {
     * plan is a BroadcastNestedLoopJoin (bounded memory, no
     * CartesianProduct partition explosion). */
   def embeddingDupPairs(emb: DataFrame, maxVecId: Long = 300L, minCosPct: Int = 90): DataFrame = {
+    import graft.functions.GraftFunctions.vdot
     val sub = emb.filter(col("vec_id") < maxVecId)
-      .withColumn("norm",
-        sqrt(expr("aggregate(embedding, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
+      .withColumn("norm", sqrt(vdot(col("embedding"), col("embedding"))))
     sub.as("a").join(broadcast(sub.as("b")), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("dot", expr("aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"))
+      .withColumn("dot", vdot(col("a.embedding"), col("b.embedding")))
       .filter(col("dot") >= lit(minCosPct / 100.0) * col("a.norm") * col("b.norm"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
   }
@@ -373,27 +399,13 @@ object TextOps {
     * "just bucketed" and keep identical output at low thresholds). */
   def embeddingLshDupPairs(emb: DataFrame, minCosPct: Int = 90,
                            nPlanes: Int = 24, bands: Int = 12, dim: Int = 64): DataFrame = {
+    // r6 (guide §4.1): PlaneSigExpr/VDotExpr replace the signature UDF
+    // and the higher-order aggregate — see lshCosineTopK
+    import graft.functions.GraftFunctions.{planeSig, vdot}
     val r = nPlanes / bands
-    val planes = gaussianPlanes(nPlanes, dim)
-    val planesB = emb.sparkSession.sparkContext.broadcast(planes)
-    val sigU = udf((v: Seq[Float]) => {
-      val ps = planesB.value
-      var sig = 0
-      var p = 0
-      while (p < ps.length) {
-        var dot = 0.0
-        var d = 0
-        val lim = math.min(v.length, ps(p).length)
-        while (d < lim) { dot += v(d) * ps(p)(d); d += 1 }
-        if (dot >= 0) sig |= (1 << p)
-        p += 1
-      }
-      sig
-    })
     val withSig = emb
-      .withColumn("sig", sigU(col("embedding")))
-      .withColumn("norm",
-        sqrt(expr("aggregate(embedding, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
+      .withColumn("sig", planeSig(col("embedding"), nPlanes, dim))
+      .withColumn("norm", sqrt(vdot(col("embedding"), col("embedding"))))
     val mask = (1 << r) - 1
     val banded = withSig.select(col("vec_id"), col("embedding"), col("norm"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> shiftright(sig, b * $r) & $mask)")))
@@ -411,7 +423,7 @@ object TextOps {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.embedding").as("ea"), col("b.embedding").as("eb"),
         col("a.norm").as("na"), col("b.norm").as("nb"))
-      .withColumn("dot", expr("aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"))
+      .withColumn("dot", vdot(col("ea"), col("eb")))
       .filter(col("dot") >= lit(minCosPct / 100.0) * col("na") * col("nb"))
       .select(col("vec_a"), col("vec_b"))
       .dropDuplicates("vec_a", "vec_b") // same pair from several bands
@@ -453,10 +465,10 @@ object TextOps {
     if (lid == graft.core.GbLang.langUnknown) "und" else graft.core.GbLang.abbr(lid)
   }
 
-  def langId(docs: DataFrame): DataFrame = {
-    val lid = udf((t: String) => langIdOf(t))
-    docs.select(col("doc_id"), lid(col("text")).as("pred_lang"), col("lang"))
-  }
+  def langId(docs: DataFrame): DataFrame =
+    // r6: codegen'd LangIdExpr (same langIdOf pipeline, no UDF SerDe)
+    docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.langId(col("text")).as("pred_lang"), col("lang"))
 
   /** Document fingerprint: Karp-Rabin rolling hash over bytes; returns the
     * min of the rolling window hashes (winnowing-style robust id). */
@@ -479,10 +491,10 @@ object TextOps {
     min
   }
 
-  def fingerprints(docs: DataFrame): DataFrame = {
-    val fp = udf((t: String) => fingerprint(t))
-    docs.select(col("doc_id"), fp(col("text")).as("fingerprint"))
-  }
+  def fingerprints(docs: DataFrame): DataFrame =
+    // r6: codegen'd Fingerprint64Expr (same Karp-Rabin loop, no UDF SerDe)
+    docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.fingerprint64(col("text")).as("fingerprint"))
 
   // ------------------------------------------------------------ multimodal
 
